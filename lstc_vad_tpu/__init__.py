@@ -1,0 +1,24 @@
+"""lstc_vad_tpu — a TPU-native JAX framework for weakly supervised video anomaly
+detection with the capabilities of LSTC (Long-Short Temporal Co-Teaching, ICME 2023).
+
+The framework re-implements, TPU-first, everything the PyTorch reference
+(shengyangsun/LSTC_VAD) provides:
+
+- ``models``      — Flax transformer encoder (STN/LTN) + Regressor/Classifier heads,
+                    with 3-D/2-D Swin-video relative position bias.
+- ``ops``         — attention compute paths (pure-XLA and fused Pallas TPU kernel).
+- ``objectives``  — MIL ranking hinge, soft cross-entropy on probabilities,
+                    class-weighted BCE — vectorized, jit-friendly.
+- ``data``        — annotation parsers, HDF5/packed feature stores, the
+                    linspace+jitter snippet sampler, balanced pair batching,
+                    background prefetch.
+- ``train``       — jitted/pjit train steps (Adagrad, two LR groups, grad clip)
+                    and the STN/LTN training drivers.
+- ``evaluation``  — frame-level AUC pipeline (part chunking with tail re-window,
+                    UCF 32-bin compression + L2 norm) and the numpy metric zoo.
+- ``pseudo``      — on-device pseudo-label generators and the co-teaching driver.
+- ``parallel``    — device mesh / sharding helpers (DP x TP over ICI).
+- ``ckpt``        — Orbax checkpointing + PyTorch state_dict importer.
+"""
+
+__version__ = "0.1.0"

@@ -1,0 +1,78 @@
+"""Scaled dot-product attention with additive bias — the hot op.
+
+Semantics (reference models/MultiHeadAttention.py:103-120):
+    attn = (q / temperature) @ k^T        # temperature = d_k ** 0.5
+    attn = where(mask == 0, -1e9, attn)   # optional
+    attn += bias                          # optional additive [H, L, L] bias
+    attn = dropout(softmax(attn))
+    out  = attn @ v
+
+Two implementations:
+- ``xla``:    plain jnp ops — XLA fuses the elementwise chain into the
+              matmuls; always available, used on CPU and as the autodiff/
+              parity reference.
+- ``pallas``: fused TPU kernel (ops/pallas_attention.py) that keeps the
+              [L, L] attention matrix in VMEM — never materialized in HBM.
+              Selected on TPU by impl="auto" for the no-dropout path.
+
+Shapes: q, k, v: [B, H, L, D]; bias: [H, L, L] broadcast over batch;
+mask: broadcastable to [B, H, L, L], nonzero = keep.
+"""
+
+from __future__ import annotations
+
+from typing import Optional
+
+import jax
+import jax.numpy as jnp
+
+MASK_FILL = -1e9
+
+
+def _pallas_available() -> bool:
+    try:
+        from . import pallas_attention  # noqa: F401
+        return True
+    except ImportError:
+        return False
+
+
+def _xla_sdpa(q, k, v, bias, mask, temperature, dropout_rate, dropout_rng,
+              return_probs=False):
+    attn = jnp.einsum("bhld,bhmd->bhlm", q / temperature, k,
+                      preferred_element_type=jnp.float32)
+    if mask is not None:
+        attn = jnp.where(mask == 0, MASK_FILL, attn)
+    if bias is not None:
+        attn = attn + bias[None].astype(attn.dtype)
+    probs = jax.nn.softmax(attn, axis=-1)
+    if dropout_rate > 0.0 and dropout_rng is not None:
+        keep = jax.random.bernoulli(dropout_rng, 1.0 - dropout_rate, probs.shape)
+        probs = jnp.where(keep, probs / (1.0 - dropout_rate), 0.0)
+    out = jnp.einsum("bhlm,bhmd->bhld", probs.astype(v.dtype), v,
+                     preferred_element_type=jnp.float32).astype(v.dtype)
+    if return_probs:
+        return out, probs
+    return out
+
+
+def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
+         temperature: float,
+         bias: Optional[jnp.ndarray] = None,
+         mask: Optional[jnp.ndarray] = None,
+         dropout_rate: float = 0.0,
+         dropout_rng: Optional[jax.Array] = None,
+         impl: str = "auto",
+         return_probs: bool = False):
+    """Dispatching SDPA. ``impl``: "auto" | "xla" | "pallas"."""
+    if impl == "auto":
+        on_tpu = jax.default_backend() == "tpu"
+        use_pallas = (on_tpu and not return_probs and _pallas_available()
+                      and (dropout_rate == 0.0 or dropout_rng is None))
+        impl = "pallas" if use_pallas else "xla"
+    if impl == "pallas":
+        from .pallas_attention import pallas_sdpa
+        return pallas_sdpa(q, k, v, temperature=temperature, bias=bias,
+                           mask=mask)
+    return _xla_sdpa(q, k, v, bias, mask, temperature, dropout_rate,
+                     dropout_rng, return_probs=return_probs)

@@ -1,0 +1,124 @@
+"""Encoder + head forward parity vs the torch oracle (deterministic paths)."""
+
+import jax
+import numpy as np
+import pytest
+
+from lstc_vad_tpu.config import EncoderConfig
+from lstc_vad_tpu.models import Encoder, make_head
+
+from torch_oracle import encoder_forward, head_forward
+
+SMALL = dict(d_model=64, d_inner=96, n_head=4, d_k=16, d_v=16, n_layers=2,
+             attn_impl="xla")
+
+
+def _run(cfg: EncoderConfig, x, mask=None, seed=0):
+    model = Encoder(cfg)
+    params = model.init(jax.random.PRNGKey(seed), x, mask)
+    out = model.apply(params, x, mask, deterministic=True)
+    oracle = encoder_forward(x, jax.tree.map(np.asarray, params)["params"],
+                             cfg, mask)
+    return np.asarray(out), oracle
+
+
+def test_stn_config_parity(rng):
+    cfg = EncoderConfig(ffn_layernorm=True, weight_init=True, **SMALL)
+    x = rng.standard_normal((6, 16, 64), dtype=np.float32)
+    out, oracle = _run(cfg, x)
+    assert out.shape == (6, 17, 64)
+    np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_ltn_config_parity_full_window(rng):
+    # part_len=3, n_patch=16 -> 48 tokens + CLS = full RPE window
+    cfg = EncoderConfig(mha_layernorm=True, ffn_layernorm=True,
+                        relative_pe=True, window_size=4, window_depth=3,
+                        **SMALL)
+    x = rng.standard_normal((4, 48, 64), dtype=np.float32)
+    out, oracle = _run(cfg, x)
+    np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_ltn_short_sequence_slices_rpe_index(rng):
+    # shorter than the window: index table sliced [:L-1, :L-1]
+    cfg = EncoderConfig(mha_layernorm=True, ffn_layernorm=True,
+                        relative_pe=True, window_size=4, window_depth=3,
+                        **SMALL)
+    x = rng.standard_normal((2, 32, 64), dtype=np.float32)
+    out, oracle = _run(cfg, x)
+    np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_relative_pe_2d_parity(rng):
+    cfg = EncoderConfig(ffn_layernorm=True, relative_pe_2d=True,
+                        window_size=4, **SMALL)
+    x = rng.standard_normal((2, 16, 64), dtype=np.float32)
+    out, oracle = _run(cfg, x)
+    np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_cls_learned_and_position_encoding(rng):
+    cfg = EncoderConfig(cls_learned=True, position_encoding=True,
+                        max_position_tokens=17, input_layernorm=True,
+                        ffn_layernorm=True, **SMALL)
+    x = rng.standard_normal((3, 16, 64), dtype=np.float32)
+    out, oracle = _run(cfg, x)
+    np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_ffn_need_false(rng):
+    cfg = EncoderConfig(ffn_need=False, **SMALL)
+    x = rng.standard_normal((2, 16, 64), dtype=np.float32)
+    out, oracle = _run(cfg, x)
+    np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_mask_fill(rng):
+    cfg = EncoderConfig(**SMALL)
+    x = rng.standard_normal((2, 8, 64), dtype=np.float32)
+    mask = np.ones((2, 1, 9, 9), dtype=np.float32)
+    mask[:, :, :, -2:] = 0
+    out, oracle = _run(cfg, x, mask)
+    np.testing.assert_allclose(out, oracle, rtol=2e-4, atol=2e-5)
+
+
+def test_cls_is_token_mean_by_default(rng):
+    cfg = EncoderConfig(n_layers=0, **{k: v for k, v in SMALL.items()
+                                       if k != "n_layers"})
+    x = rng.standard_normal((2, 5, 64), dtype=np.float32)
+    model = Encoder(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out = np.asarray(model.apply(params, x, deterministic=True))
+    np.testing.assert_allclose(out[:, 0], x.mean(1), rtol=1e-5, atol=1e-6)
+
+
+@pytest.mark.parametrize("kind", ["regressor", "classifier"])
+def test_head_parity(rng, kind):
+    head = make_head(kind, d_model=64, hidden_dim=32)
+    x = rng.standard_normal((10, 64), dtype=np.float32)
+    params = head.init(jax.random.PRNGKey(1), x)
+    out = np.asarray(head.apply(params, x, deterministic=True))
+    oracle = head_forward(x, jax.tree.map(np.asarray, params)["params"], kind)
+    np.testing.assert_allclose(out, oracle, rtol=1e-5, atol=1e-6)
+    if kind == "regressor":
+        assert out.shape == (10, 1)
+        assert (out >= 0).all() and (out <= 1).all()
+    else:
+        assert out.shape == (10, 2)
+        np.testing.assert_allclose(out.sum(-1), 1.0, rtol=1e-5)
+
+
+def test_dropout_active_in_training_mode(rng):
+    cfg = EncoderConfig(attn_dropout=0.5, fc_dropout=0.5, ffn_dropout=0.5,
+                        **SMALL)
+    x = rng.standard_normal((2, 8, 64), dtype=np.float32)
+    model = Encoder(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    a = model.apply(params, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(1)})
+    b = model.apply(params, x, deterministic=False,
+                    rngs={"dropout": jax.random.PRNGKey(2)})
+    det = model.apply(params, x, deterministic=True)
+    assert not np.allclose(np.asarray(a), np.asarray(b))
+    assert not np.allclose(np.asarray(a), np.asarray(det))
