@@ -1,0 +1,1 @@
+from .orbax_io import load_checkpoint, save_checkpoint  # noqa: F401

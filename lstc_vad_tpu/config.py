@@ -154,11 +154,16 @@ class MeshConfig:
 
 
 def replace(cfg, **kw):
-    """dataclasses.replace that also works on nested field paths 'a.b'."""
+    """dataclasses.replace that also works on nested field paths 'a.b.c'."""
     direct = {k: v for k, v in kw.items() if "." not in k}
-    nested = [(k.split(".", 1), v) for k, v in kw.items() if "." in k]
-    for (outer, inner), v in nested:
-        direct[outer] = replace(getattr(cfg, outer), **{inner: v})
+    nested: dict = {}
+    for k, v in kw.items():
+        if "." in k:
+            outer, inner = k.split(".", 1)
+            nested.setdefault(outer, {})[inner] = v
+    for outer, inner_kw in nested.items():
+        base = direct.get(outer, getattr(cfg, outer))
+        direct[outer] = replace(base, **inner_kw)
     return dataclasses.replace(cfg, **direct)
 
 

@@ -1,0 +1,91 @@
+"""Batching + background prefetch feeding fixed-shape device arrays.
+
+Replaces the reference's torch DataLoader worker processes
+(Train/spatio_transformer_shanghaitech.py:45) with a host thread that builds
+the next batch (h5 gather + snippet sampling) while the TPU executes the
+current step, then device_puts with an optional NamedSharding so batches land
+already sharded across the mesh.
+
+Batch layout matches the reference collation: four stacked arrays
+(norm_feats [B, pn*pl, n_patch, d], norm_labs [B, pn*pl], abnorm_feats,
+abnorm_labs); iteration order is sequential over the per-epoch permutation
+(torch's default sampler), with drop_last=True.
+"""
+
+from __future__ import annotations
+
+import queue
+import threading
+from typing import Iterator, Optional, Tuple
+
+import jax
+import numpy as np
+
+Batch = Tuple[np.ndarray, np.ndarray, np.ndarray, np.ndarray]
+
+
+class BatchIterator:
+    """Sequential fixed-size batches over a PairedTrainDataset epoch."""
+
+    def __init__(self, dataset, batch_size: int, drop_last: bool = True):
+        self.dataset = dataset
+        self.batch_size = batch_size
+        self.drop_last = drop_last
+
+    def __len__(self) -> int:
+        n = len(self.dataset)
+        return n // self.batch_size if self.drop_last \
+            else -(-n // self.batch_size)
+
+    def __iter__(self) -> Iterator[Batch]:
+        n = len(self.dataset)
+        end = n - n % self.batch_size if self.drop_last else n
+        for start in range(0, end, self.batch_size):
+            items = [self.dataset[i] for i in
+                     range(start, min(start + self.batch_size, n))]
+            yield tuple(np.stack([it[j] for it in items]) for j in range(4))
+
+
+class Prefetcher:
+    """Wraps a batch iterable; a daemon thread stays ``depth`` batches ahead,
+    transferring to device (optionally sharded) as soon as a batch is built."""
+
+    _SENTINEL = object()
+
+    def __init__(self, iterable, depth: int = 2, sharding=None,
+                 to_device: bool = True):
+        self.iterable = iterable
+        self.depth = depth
+        self.sharding = sharding
+        self.to_device = to_device
+
+    def _put(self, batch):
+        if not self.to_device:
+            return batch
+        if self.sharding is not None:
+            return jax.tree.map(
+                lambda a: jax.device_put(a, self.sharding), batch)
+        return jax.tree.map(jax.device_put, batch)
+
+    def __iter__(self):
+        q: "queue.Queue" = queue.Queue(maxsize=self.depth)
+        err: list = []
+
+        def worker():
+            try:
+                for batch in self.iterable:
+                    q.put(self._put(batch))
+            except BaseException as e:  # propagate to consumer
+                err.append(e)
+            finally:
+                q.put(self._SENTINEL)
+
+        t = threading.Thread(target=worker, daemon=True)
+        t.start()
+        while True:
+            item = q.get()
+            if item is self._SENTINEL:
+                if err:
+                    raise err[0]
+                return
+            yield item

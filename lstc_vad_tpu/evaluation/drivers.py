@@ -1,0 +1,90 @@
+"""Dataset-level evaluation drivers -> frame-level AUC.
+
+Each function reproduces one reference eval loop's score/label assembly
+(file:line cited per function), with the per-part device calls replaced by the
+batched scorers in evaluation/scoring.py.  Scores are truncated to the
+annotation length where the reference would desync (it assumes annotations
+cover all scored frames).
+"""
+
+from __future__ import annotations
+
+from typing import Iterable, List, Optional, Tuple
+
+import numpy as np
+
+from .frame_auc import ucf_expand
+from .metrics import roc_auc
+from .scoring import (ClipScorer, PartScorer, UCFBinnedScorer,
+                      UCFClipBinScorer)
+
+Item = Tuple[np.ndarray, Optional[np.ndarray]]  # (feats, per-frame anno|None)
+
+
+def _concat_auc(scores: List[np.ndarray], labels: List[np.ndarray]) -> float:
+    return roc_auc(np.concatenate(scores), np.concatenate(labels))
+
+
+def evaluate_stn(params, scorer: ClipScorer, items: Iterable[Item],
+                 segment_len: int = 16) -> float:
+    """STN whole-video eval: clip scores x segment_len vs annotation head
+    (Train/spatio_transformer_shanghaitech.py:133-143; anno=None -> zeros,
+    the normal-video train-split branch :164-165)."""
+    all_scores, all_labels = [], []
+    for feats, anno in items:
+        s = np.repeat(scorer.score_video(params, feats), segment_len)
+        lab = np.zeros(len(s)) if anno is None else np.asarray(
+            anno[:len(s)], dtype=np.float64)
+        all_scores.append(s[:len(lab)])
+        all_labels.append(lab)
+    return _concat_auc(all_scores, all_labels)
+
+
+def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
+                 segment_len: int = 16) -> float:
+    """LTN part-chunked eval with tail re-window
+    (Test/evaluation_shanghaitech_ubnormal.py:70-95)."""
+    all_scores, all_labels = [], []
+    for feats, anno in items:
+        part_scores, counts = scorer.score_video(params, feats)
+        s = np.repeat(part_scores, counts * segment_len)
+        lab = np.zeros(len(s)) if anno is None else np.asarray(
+            anno[:len(s)], dtype=np.float64)
+        all_scores.append(s[:len(lab)])
+        all_labels.append(lab)
+    return _concat_auc(all_scores, all_labels)
+
+
+def evaluate_ucf_ltn(params, scorer: UCFBinnedScorer,
+                     items: Iterable[Tuple[np.ndarray, np.ndarray, int]],
+                     segment_len: int = 16) -> float:
+    """UCF binned eval: linspace compression + part grouping
+    (Test/evaluation_UCF.py:44-87 with the scorer's final-eval flags;
+    Train/temporal_transformer_UCF.py:139-172 with in-training flags).
+    items: (feats, anno, n_clips)."""
+    all_scores, all_labels = [], []
+    for feats, anno, n_clips in items:
+        part_scores, parts, r = scorer.score_video(params, feats, n_clips)
+        vs = ucf_expand(part_scores, parts, r, anno, segment_len)
+        n = min(len(vs.scores), len(vs.labels))
+        all_scores.append(vs.scores[:n])
+        all_labels.append(vs.labels[:n])
+    return _concat_auc(all_scores, all_labels)
+
+
+def evaluate_ucf_stn(params, scorer: UCFClipBinScorer,
+                     items: Iterable[Tuple[np.ndarray, np.ndarray, int]],
+                     segment_len: int = 16) -> float:
+    """UCF STN eval: per-bin regressor scores expanded x bin width
+    (Train/spatio_transformer_UCF.py:120-137).  items: (feats, anno, n_clips)."""
+    all_scores, all_labels = [], []
+    for feats, anno, n_clips in items:
+        scores, bin_ids, r = scorer.score_video(params, feats, n_clips)
+        for score, i in zip(scores, bin_ids):
+            width = int(r[i + 1] - r[i]) * segment_len
+            lab = np.asarray(anno[r[i] * segment_len:r[i + 1] * segment_len],
+                             dtype=np.float64)
+            n = min(width, len(lab))
+            all_scores.append(np.full(n, score))
+            all_labels.append(lab[:n])
+    return _concat_auc(all_scores, all_labels)

@@ -60,6 +60,30 @@ def part_bounds(n_clips: int, part_len: int) -> List[Tuple[int, int]]:
     return bounds
 
 
+def part_slices(n_clips: int, part_len: int,
+                tail_rewindow: bool = True) -> Tuple[List[np.ndarray], np.ndarray]:
+    """Exact-parity clip index lists per part.
+
+    The re-windowed tail uses PYTHON SLICE SEMANTICS on [end-part_len:end] —
+    including the negative-start wrap the reference hits when a video is
+    shorter than part_len (Test/evaluation_shanghaitech_ubnormal.py:84) —
+    so scores match the reference bit-for-bit even on degenerate videos.
+
+    Returns (list of index arrays (len part_len except possibly the tail),
+    counts [n_parts] of (end-beg) for score expansion).
+    """
+    clips = np.arange(n_clips)
+    idx_list: List[np.ndarray] = []
+    counts = []
+    for beg, end in part_bounds(n_clips, part_len):
+        counts.append(end - beg)
+        if end - beg < part_len and tail_rewindow:
+            idx_list.append(clips[end - part_len:end])
+        else:
+            idx_list.append(clips[beg:end])
+    return idx_list, np.asarray(counts, dtype=np.int32)
+
+
 def part_index_matrix(n_clips: int, part_len: int,
                       tail_rewindow: bool = True) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
     """Clip gather indices per part.

@@ -1,0 +1,199 @@
+"""Batched on-device scorers for evaluation and pseudo-label generation.
+
+The reference scores one part per device call in a Python loop
+(Test/evaluation_shanghaitech_ubnormal.py:77-91 — batch size 1, a D2H sync per
+part).  Here a video's parts are gathered on host into ONE fixed-shape batch,
+padded up to a small set of bucket sizes (so XLA compiles a handful of
+programs, not one per video length), and scored in a single device call.
+Scores are numerically identical per part: attention never mixes parts, so
+batching parts changes nothing but throughput.
+
+Variable-length tails (paths without tail re-windowing, e.g. the pseudo-label
+generators) are scored at their true length in a separate call — shorter
+sequences change the relative-PE slice, so padding them would NOT be
+equivalent (models/MultiHeadAttention.py:108).
+"""
+
+from __future__ import annotations
+
+import functools
+from typing import List, Optional, Tuple
+
+import jax
+import jax.numpy as jnp
+import numpy as np
+
+from .frame_auc import part_slices, ucf_bin_edges, ucf_bin_pool, ucf_part_plan
+
+BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
+
+
+def pad_to_bucket(n: int) -> int:
+    for b in BUCKETS:
+        if n <= b:
+            return b
+    return -(-n // BUCKETS[-1]) * BUCKETS[-1]
+
+
+class VideoScorer:
+    """Jitted encoder+head apply over [B, T, d] token batches, bucket-padded
+    on the B axis.  ``head_select``: 'regressor' -> squeeze(-1),
+    'classifier' -> probs[:, 1] (abnormal class)."""
+
+    def __init__(self, encoder, head, kind: str, l2_normalize: bool = False):
+        self.encoder = encoder
+        self.head = head
+        self.kind = kind
+        self.l2_normalize = l2_normalize
+
+    @functools.cached_property
+    def _apply(self):
+        encoder, head, kind = self.encoder, self.head, self.kind
+        l2 = self.l2_normalize
+
+        @jax.jit
+        def apply(params, x):
+            if l2:
+                # UCF eval-only quirk: F.normalize(p=2) on the raw features
+                # (Test/evaluation_UCF.py:77)
+                norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+                x = x / jnp.maximum(norm, 1e-12)
+            h = encoder.apply({"params": params["encoder"]}, x,
+                              deterministic=True)
+            out = head.apply({"params": params["head"]}, h[:, 0, :],
+                             deterministic=True)
+            if kind == "classifier":
+                return out[:, 1]
+            return out[:, 0]
+
+        return apply
+
+    def score_tokens(self, params, tokens: np.ndarray) -> np.ndarray:
+        """tokens: [B, T, d] float32 -> scores [B] (host numpy)."""
+        n = tokens.shape[0]
+        bucket = pad_to_bucket(n)
+        if bucket != n:
+            pad = np.zeros((bucket - n,) + tokens.shape[1:], tokens.dtype)
+            tokens = np.concatenate([tokens, pad], axis=0)
+        scores = self._apply(params, tokens)
+        return np.asarray(scores)[:n]
+
+
+class ClipScorer:
+    """STN: every clip of a video scored in one call
+    (cf. Train/spatio_transformer_shanghaitech.py:133-137 per-video call,
+    which was already whole-video — kept batched + bucket-padded here)."""
+
+    def __init__(self, encoder, head, n_patch: int):
+        self.scorer = VideoScorer(encoder, head, "regressor")
+        self.n_patch = n_patch
+
+    def score_video(self, params, feats: np.ndarray) -> np.ndarray:
+        tokens = np.ascontiguousarray(feats[:, :self.n_patch, :],
+                                      dtype=np.float32)
+        return self.scorer.score_tokens(params, tokens)
+
+
+class PartScorer:
+    """LTN: chunk a video into parts of part_len clips, score all parts in
+    one batch.  Returns (part_scores [n_parts], counts [n_parts])."""
+
+    def __init__(self, encoder, head, part_len: int, n_patch: int,
+                 tail_rewindow: bool = True):
+        self.scorer = VideoScorer(encoder, head, "classifier")
+        self.part_len = part_len
+        self.n_patch = n_patch
+        self.tail_rewindow = tail_rewindow
+
+    def score_video(self, params, feats: np.ndarray
+                    ) -> Tuple[np.ndarray, np.ndarray]:
+        feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+                                     dtype=np.float32)
+        n_clips, n_patch, d = feats.shape
+        idx_list, counts = part_slices(n_clips, self.part_len,
+                                       self.tail_rewindow)
+        scores = np.empty(len(idx_list), dtype=np.float32)
+        # group parts by token length; full-length parts batch together
+        by_len = {}
+        for i, idx in enumerate(idx_list):
+            by_len.setdefault(len(idx), []).append(i)
+        for length, part_ids in by_len.items():
+            gathered = np.stack([feats[idx_list[i]] for i in part_ids])
+            tokens = gathered.reshape(len(part_ids), length * n_patch, d)
+            scores[part_ids] = self.scorer.score_tokens(params, tokens)
+        return scores, counts
+
+
+class UCFBinnedScorer:
+    """UCF long-video path: linspace-compress to max_clips bins, mean-pool,
+    optional L2 norm, part-chunk in bin space (Test/evaluation_UCF.py:44-85;
+    Train/pseudo_labels_generator_temporal.py:72-107 without re-windowing).
+
+    Returns (part_scores, parts [(beg, end) in bin space], bin_edges r).
+    """
+
+    def __init__(self, encoder, head, part_len: int, n_patch: int,
+                 max_clips: int = 32, l2_normalize: bool = True,
+                 tail_rewindow: bool = True, adaptive_bins: bool = False):
+        """Three reference variants map onto the flags:
+        - final eval (Test/evaluation_UCF.py): l2_normalize=True,
+          tail_rewindow=True, adaptive_bins=False, n_clips from n_frames//16;
+        - in-training eval (Train/temporal_transformer_UCF.py:144-172):
+          l2_normalize=False, tail_rewindow=False, adaptive_bins=True,
+          n_clips from the feature array length;
+        - pseudo-label gen (Train/pseudo_labels_generator_temporal.py:72-107):
+          l2_normalize=False, tail_rewindow=False, adaptive_bins=False."""
+        self.scorer = VideoScorer(encoder, head, "classifier",
+                                  l2_normalize=l2_normalize)
+        self.part_len = part_len
+        self.n_patch = n_patch
+        self.max_clips = max_clips
+        self.tail_rewindow = tail_rewindow
+        self.adaptive_bins = adaptive_bins
+
+    def score_video(self, params, feats: np.ndarray, n_clips: int):
+        feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+                                     dtype=np.float32)
+        bins = min(self.max_clips, n_clips) if self.adaptive_bins \
+            else self.max_clips
+        r = ucf_bin_edges(n_clips, bins)
+        binned = ucf_bin_pool(feats, r)          # [bins, n_patch, d]
+        d = binned.shape[-1]
+        if self.tail_rewindow:
+            parts = ucf_part_plan(bins, self.part_len)
+        else:
+            from .frame_auc import part_bounds
+            parts = part_bounds(bins, self.part_len)
+        by_len = {}
+        for i, (beg, end) in enumerate(parts):
+            by_len.setdefault(end - beg, []).append(i)
+        scores = np.empty(len(parts), dtype=np.float32)
+        for length, part_ids in by_len.items():
+            tokens = np.stack([binned[parts[i][0]:parts[i][1]]
+                               for i in part_ids])
+            tokens = tokens.reshape(len(part_ids),
+                                    length * self.n_patch, d)
+            scores[part_ids] = self.scorer.score_tokens(params, tokens)
+        return scores, parts, r
+
+
+class UCFClipBinScorer:
+    """UCF STN eval: each non-empty bin mean-pooled to ONE clip and scored by
+    the regressor (Train/spatio_transformer_UCF.py:120-135).
+
+    Returns (scores [n_non_empty], bin_ids [n_non_empty], r)."""
+
+    def __init__(self, encoder, head, n_patch: int, max_clips: int = 32):
+        self.scorer = VideoScorer(encoder, head, "regressor")
+        self.n_patch = n_patch
+        self.max_clips = max_clips
+
+    def score_video(self, params, feats: np.ndarray, n_clips: int):
+        feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+                                     dtype=np.float32)
+        r = ucf_bin_edges(n_clips, self.max_clips)
+        bin_ids = [i for i in range(self.max_clips) if r[i] != r[i + 1]]
+        tokens = np.stack([feats[r[i]:r[i + 1]].mean(axis=0)
+                           for i in bin_ids])
+        scores = self.scorer.score_tokens(params, tokens)
+        return scores, np.asarray(bin_ids), r

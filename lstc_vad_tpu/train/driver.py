@@ -1,0 +1,199 @@
+"""Generic training driver: one loop serves STN and LTN on all 3 datasets.
+
+Replaces the reference's six copy-pasted per-dataset train scripts
+(Train/spatio_transformer_*.py, Train/temporal_transformer_*.py) with one
+parameterized loop: balanced-pair batches via the prefetching pipeline,
+a fused jitted train step, eval every ``inter_epoch`` epochs over the test
+(and optionally train) split, AUC-gated checkpoint saving.
+"""
+
+from __future__ import annotations
+
+import dataclasses
+import os
+from typing import Callable, Dict, List, Optional
+
+import numpy as np
+
+from ..config import TrainConfig
+from ..data import (BatchIterator, FeatureStore, PairedTrainDataset,
+                    Prefetcher, load_test_videos)
+from ..data.datasets import load_pseudo_labels, load_train_records
+from ..evaluation.drivers import (evaluate_ltn, evaluate_stn,
+                                  evaluate_ucf_ltn, evaluate_ucf_stn)
+from ..evaluation.scoring import (ClipScorer, PartScorer, UCFBinnedScorer,
+                                  UCFClipBinScorer)
+from ..ckpt import save_checkpoint
+from ..utils.logging import get_logger
+from .state import create_train_state
+from .steps import make_ltn_train_step, make_stn_train_step
+
+
+@dataclasses.dataclass
+class TrainResult:
+    best_test_auc: float = 0.0
+    best_test_epoch: int = 0
+    best_train_auc: float = 0.0
+    best_train_epoch: int = 0
+    history: List[Dict] = dataclasses.field(default_factory=list)
+    steps: int = 0
+
+
+class Trainer:
+    """Owns dataset, state, step fn and eval scorers for one config."""
+
+    def __init__(self, cfg: TrainConfig, logger=None, sharding=None):
+        self.cfg = cfg
+        self.logger = logger or get_logger()
+        self.sharding = sharding
+        d = cfg.data
+
+        records = load_train_records(d.dataset, d.train_txt)
+        eager_keys = [r.key for r in records] if d.eager else None
+        self.store = FeatureStore(d.h5_path, eager_keys=eager_keys,
+                                  ten_crop=d.ten_crop, n_patch=d.n_patch,
+                                  d_model=d.d_model)
+        pseudo = (load_pseudo_labels(d.pseudo_labels_path)
+                  if d.pseudo_labels_path else None)
+        self.dataset = PairedTrainDataset(
+            records, self.store, part_num=d.part_num, part_len=d.part_len,
+            n_patch=d.n_patch, sample=d.sample, pseudo_labels=pseudo,
+            ten_crop=d.ten_crop, double_short=(d.dataset == "UCF"),
+            seed=d.seed)
+        self.train_records = records
+
+        self.test_videos = load_test_videos(
+            d.dataset, d.test_txt, self.store, mask_dir=d.test_mask_dir,
+            mask_h5=d.test_mask_h5) if d.test_txt else []
+
+        self.state, self.encoder, self.head, self.tx = create_train_state(cfg)
+        if cfg.model == "stn":
+            self.step_fn = make_stn_train_step(self.encoder, self.head, cfg,
+                                               self.tx)
+        else:
+            self.step_fn = make_ltn_train_step(self.encoder, self.head, cfg,
+                                               self.tx)
+        self._build_scorers()
+
+    def _build_scorers(self):
+        cfg, d = self.cfg, self.cfg.data
+        if cfg.model == "stn":
+            if d.dataset == "UCF":
+                self.scorer = UCFClipBinScorer(self.encoder, self.head,
+                                               d.n_patch, cfg.max_clips)
+            else:
+                self.scorer = ClipScorer(self.encoder, self.head, d.n_patch)
+        else:
+            if d.dataset == "UCF":
+                # in-training eval flags (Train/temporal_transformer_UCF.py)
+                self.scorer = UCFBinnedScorer(
+                    self.encoder, self.head, d.part_len, d.n_patch,
+                    max_clips=cfg.max_clips, l2_normalize=False,
+                    tail_rewindow=False, adaptive_bins=True)
+            else:
+                self.scorer = PartScorer(self.encoder, self.head, d.part_len,
+                                         d.n_patch, tail_rewindow=True)
+
+    # ---------------------------------------------------------------- eval
+
+    def _test_items(self):
+        d = self.cfg.data
+        if d.dataset == "UCF":
+            # in-training eval uses the feature-array clip count
+            return [(v.feat, v.anno, v.feat.shape[0]) for v in self.test_videos]
+        return [(v.feat, v.anno) for v in self.test_videos]
+
+    def _train_items(self):
+        """Train-split eval: abnormal videos use the frame mask GT
+        (Train/spatio_transformer_shanghaitech.py:148-168)."""
+        d = self.cfg.data
+        items = []
+        for r in self.train_records:
+            feat = self.store.get(r.key)
+            anno = None
+            if r.is_abnormal:
+                anno = np.load(os.path.join(d.test_mask_dir, r.key + ".npy"),
+                               allow_pickle=True)
+            items.append((feat, anno))
+        return items
+
+    def evaluate(self, split: str = "test") -> float:
+        cfg, d = self.cfg, self.cfg.data
+        params = self.state.params
+        items = self._test_items() if split == "test" else self._train_items()
+        if cfg.model == "stn":
+            if d.dataset == "UCF":
+                return evaluate_ucf_stn(params, self.scorer, items,
+                                        d.segment_len)
+            return evaluate_stn(params, self.scorer, items, d.segment_len)
+        if d.dataset == "UCF":
+            return evaluate_ucf_ltn(params, self.scorer, items, d.segment_len)
+        return evaluate_ltn(params, self.scorer, items, d.segment_len)
+
+    # ---------------------------------------------------------------- train
+
+    def train_epoch(self) -> Dict[str, float]:
+        batches = Prefetcher(
+            BatchIterator(self.dataset, self.cfg.data.batch_size,
+                          drop_last=True),
+            sharding=self.sharding)
+        metrics = {}
+        n = 0
+        for batch in batches:
+            self.state, metrics = self.step_fn(self.state, *batch)
+            n += 1
+        self.dataset.shuffle_keys()
+        return {k: float(v) for k, v in metrics.items()} | {"batches": n}
+
+    def fit(self, epochs: Optional[int] = None,
+            on_eval: Optional[Callable] = None) -> TrainResult:
+        cfg = self.cfg
+        result = TrainResult()
+        epochs = cfg.epochs if epochs is None else epochs
+        for epoch in range(epochs):
+            m = self.train_epoch()
+            result.steps += m.pop("batches")
+            self.logger.info("[epoch %d] %s", epoch,
+                             {k: round(v, 4) for k, v in m.items()})
+            if epoch % cfg.inter_epoch == 0 or epoch == epochs - 1:
+                auc_test = self.evaluate("test") if self.test_videos else 0.0
+                auc_train = (self.evaluate("train")
+                             if cfg.eval_train_split else 0.0)
+                entry = {"epoch": epoch, "auc_test": auc_test,
+                         "auc_train": auc_train, **m}
+                result.history.append(entry)
+                if auc_test > result.best_test_auc:
+                    result.best_test_auc = auc_test
+                    result.best_test_epoch = epoch
+                # the reference gates saving on the train-split AUC for SHT
+                # (spatio_transformer_shanghaitech.py:177-191) and on test AUC
+                # for UCF (spatio_transformer_UCF.py:139-149)
+                gate = auc_train if cfg.eval_train_split else auc_test
+                best = (result.best_train_auc if cfg.eval_train_split
+                        else result.best_test_auc)
+                improved = gate > best or (not cfg.eval_train_split
+                                           and auc_test == result.best_test_auc
+                                           and result.best_test_epoch == epoch)
+                if cfg.eval_train_split and auc_train > result.best_train_auc:
+                    result.best_train_auc = auc_train
+                    result.best_train_epoch = epoch
+                    improved = True
+                if improved and gate > cfg.save_threshold:
+                    path = os.path.join(
+                        cfg.model_save_dir,
+                        f"{cfg.data.dataset}_{cfg.model}_{gate:.4f}")
+                    self.logger.info("saving model to %s", path)
+                    save_checkpoint(path, self.state.params)
+                self.logger.info(
+                    "[epoch %d] test AUC %.4f (best %.4f @%d) "
+                    "train AUC %.4f (best %.4f @%d)", epoch, auc_test,
+                    result.best_test_auc, result.best_test_epoch, auc_train,
+                    result.best_train_auc, result.best_train_epoch)
+                if on_eval is not None:
+                    on_eval(self, result, entry)
+        return result
+
+
+def train(cfg: TrainConfig, epochs: Optional[int] = None,
+          logger=None) -> TrainResult:
+    return Trainer(cfg, logger=logger).fit(epochs)
