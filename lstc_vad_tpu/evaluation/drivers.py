@@ -43,10 +43,12 @@ def evaluate_stn(params, scorer: ClipScorer, items: Iterable[Item],
 def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
                  segment_len: int = 16) -> float:
     """LTN part-chunked eval with tail re-window
-    (Test/evaluation_shanghaitech_ubnormal.py:70-95)."""
+    (Test/evaluation_shanghaitech_ubnormal.py:70-95).  All videos' parts are
+    scored in large cross-video batches (scorer.score_videos)."""
+    items = list(items)
+    results = scorer.score_videos(params, [feats for feats, _ in items])
     all_scores, all_labels = [], []
-    for feats, anno in items:
-        part_scores, counts = scorer.score_video(params, feats)
+    for (part_scores, counts), (_, anno) in zip(results, items):
         s = np.repeat(part_scores, counts * segment_len)
         lab = np.zeros(len(s)) if anno is None else np.asarray(
             anno[:len(s)], dtype=np.float64)

@@ -123,6 +123,47 @@ class PartScorer:
             scores[part_ids] = self.scorer.score_tokens(params, tokens)
         return scores, counts
 
+    def score_videos(self, params, feats_list: List[np.ndarray]
+                     ) -> List[Tuple[np.ndarray, np.ndarray]]:
+        """Score MANY videos in large cross-video part batches: one H2D
+        transfer and one device call per bucket instead of per video.
+        Returns [(part_scores, counts)] aligned with ``feats_list``."""
+        all_tokens, spans, all_counts, leftovers = [], [], [], []
+        cursor = 0
+        for v, feats in enumerate(feats_list):
+            feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+                                         dtype=np.float32)
+            n_clips, n_patch, d = feats.shape
+            idx_list, counts = part_slices(n_clips, self.part_len,
+                                           self.tail_rewindow)
+            all_counts.append(counts)
+            full = [i for i in range(len(idx_list))
+                    if len(idx_list[i]) == self.part_len]
+            short = [i for i in range(len(idx_list))
+                     if len(idx_list[i]) != self.part_len]
+            tok = np.stack([feats[idx_list[i]] for i in full]) if full else \
+                np.zeros((0, self.part_len, n_patch, d), np.float32)
+            tok = tok.reshape(len(full), self.part_len * n_patch, d)
+            all_tokens.append(tok)
+            spans.append((v, cursor, cursor + len(full), full))
+            cursor += len(full)
+            leftovers.append([(i, feats[idx_list[i]]) for i in short])
+
+        out = [np.empty(len(c), dtype=np.float32) for c in all_counts]
+        if cursor:
+            big = np.concatenate(all_tokens, axis=0)
+            chunk = BUCKETS[-2]  # cap transfer/program size
+            flat = np.concatenate([
+                self.scorer.score_tokens(params, big[i:i + chunk])
+                for i in range(0, len(big), chunk)])
+            for v, beg, end, full in spans:
+                out[v][full] = flat[beg:end]
+        for v, shorts in enumerate(leftovers):
+            for i, gathered in shorts:
+                tokens = gathered.reshape(1, -1, gathered.shape[-1])
+                out[v][i] = self.scorer.score_tokens(params, tokens)[0]
+        return list(zip(out, all_counts))
+
 
 class UCFBinnedScorer:
     """UCF long-video path: linspace-compress to max_clips bins, mean-pool,

@@ -1,0 +1,110 @@
+"""Co-teaching driver: alternate STN/LTN training, each supervising the other
+through thresholded pseudo labels.
+
+Reproduces the README pipeline (README.md:22-35) as one driver instead of
+four manual script invocations, and the committed round driver's semantics
+(Train/spatio_transformer_MIL_CE.py: even rounds retrain the STN with
+MIL + weighted BCE on the LTN's pseudo labels and regenerate LTN targets;
+odd rounds retrain the LTN with MIL + soft CE and regenerate STN targets).
+
+Artifacts land in ``workdir``: stn_pseudo.npy / ltn_pseudo.npy (np.save dict
+format, loadable by the reference's datasets too).
+"""
+
+from __future__ import annotations
+
+import os
+from typing import Optional
+
+from ..config import TrainConfig, replace
+from ..data.datasets import load_train_records
+from ..evaluation.scoring import ClipScorer, PartScorer, UCFBinnedScorer
+from ..train.driver import Trainer
+from ..utils.logging import get_logger
+from .generator import (generate_ltn_pseudo_labels, generate_stn_pseudo_labels,
+                        save_pseudo_labels)
+
+
+class CoTeachingDriver:
+    def __init__(self, stn_cfg: TrainConfig, ltn_cfg: TrainConfig,
+                 workdir: str, stn_threshold: float = 0.9,
+                 ltn_threshold: float = 0.65, logger=None):
+        self.stn_cfg = stn_cfg
+        self.ltn_cfg = ltn_cfg
+        self.workdir = workdir
+        self.stn_threshold = stn_threshold
+        self.ltn_threshold = ltn_threshold
+        self.logger = logger or get_logger("coteach")
+        os.makedirs(workdir, exist_ok=True)
+        self.stn_pseudo_path = os.path.join(workdir, "stn_pseudo.npy")
+        self.ltn_pseudo_path = os.path.join(workdir, "ltn_pseudo.npy")
+        self.last_stn: Optional[Trainer] = None
+        self.last_ltn: Optional[Trainer] = None
+
+    # ------------------------------------------------------------ phases
+
+    def train_stn(self, epochs: int, use_ltn_pseudo: bool) -> Trainer:
+        """Bootstrap round: pure MIL.  Later rounds: MIL + BCE on the LTN's
+        pseudo labels (spatio_transformer_MIL_CE.py:166-181)."""
+        cfg = self.stn_cfg
+        if use_ltn_pseudo:
+            cfg = replace(cfg, model="stn_bce",
+                          **{"data.pseudo_labels_path": self.ltn_pseudo_path})
+        trainer = Trainer(cfg, logger=self.logger)
+        trainer.fit(epochs=epochs)
+        self.last_stn = trainer
+        return trainer
+
+    def train_ltn(self, epochs: int) -> Trainer:
+        """LTN round: MIL + soft CE on the STN's pseudo labels
+        (temporal_transformer_shanghaitech.py:103-134)."""
+        cfg = replace(self.ltn_cfg,
+                      **{"data.pseudo_labels_path": self.stn_pseudo_path})
+        trainer = Trainer(cfg, logger=self.logger)
+        trainer.fit(epochs=epochs)
+        self.last_ltn = trainer
+        return trainer
+
+    def generate_stn_pseudo(self, trainer: Trainer):
+        d = trainer.cfg.data
+        records = load_train_records(d.dataset, d.train_txt)
+        scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
+        pseudo = generate_stn_pseudo_labels(
+            trainer.state.params, scorer, trainer.store, records,
+            self.stn_threshold)
+        save_pseudo_labels(self.stn_pseudo_path, pseudo)
+        self.logger.info("STN pseudo labels -> %s", self.stn_pseudo_path)
+
+    def generate_ltn_pseudo(self, trainer: Trainer):
+        d = trainer.cfg.data
+        records = load_train_records(d.dataset, d.train_txt)
+        if d.dataset == "UCF":
+            scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
+                                     d.part_len, d.n_patch,
+                                     l2_normalize=False, tail_rewindow=False)
+        else:
+            scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
+                                d.n_patch, tail_rewindow=False)
+        pseudo = generate_ltn_pseudo_labels(
+            trainer.state.params, scorer, trainer.store, records,
+            self.ltn_threshold, dataset=d.dataset, segment_len=d.segment_len)
+        save_pseudo_labels(self.ltn_pseudo_path, pseudo)
+        self.logger.info("LTN pseudo labels -> %s", self.ltn_pseudo_path)
+
+    # ------------------------------------------------------------ loop
+
+    def run(self, rounds: int, stn_epochs: int, ltn_epochs: int):
+        """round 0: STN(MIL) -> STN pseudo; round 1: LTN -> LTN pseudo;
+        round 2: STN(MIL+BCE) -> STN pseudo; round 3: LTN -> ...; etc."""
+        results = []
+        for round_i in range(rounds):
+            if round_i % 2 == 0:
+                trainer = self.train_stn(stn_epochs,
+                                         use_ltn_pseudo=(round_i > 0))
+                self.generate_stn_pseudo(trainer)
+            else:
+                trainer = self.train_ltn(ltn_epochs)
+                self.generate_ltn_pseudo(trainer)
+            results.append(trainer)
+            self.logger.info("co-teaching round %d complete", round_i)
+        return results

@@ -1,0 +1,74 @@
+"""Pseudo-label generators — the co-teaching hand-off artifact.
+
+Each network scores every TRAIN video; scores above a threshold are kept,
+the rest zeroed; the dict {key+'.npy': scores} is saved via np.save
+(Train/pseudo_labels_generator_spatio.py:22-89,
+Train/pseudo_labels_generator_temporal.py:22-146).  Thresholds from the
+README pipeline: STN->LTN 0.9, LTN->STN 0.65 (README.md:27,35).
+
+TPU-native: whole videos (STN) or all parts of a video (LTN) are scored in
+one batched device call; thresholding is a jnp.where on device.  Scoring is
+identical to the reference per-clip/per-part loops (scorer parity tests).
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional
+
+import numpy as np
+
+from ..data.annotations import TrainRecord
+from ..data.feature_store import FeatureStore
+from ..evaluation.scoring import ClipScorer, PartScorer, UCFBinnedScorer
+
+
+def _threshold(scores: np.ndarray, threshold: float) -> np.ndarray:
+    """score if score > tau else 0 (pseudo_labels_generator_spatio.py:85-86)."""
+    return np.where(scores > threshold, scores, 0.0).astype(np.float32)
+
+
+def generate_stn_pseudo_labels(params, scorer: ClipScorer,
+                               store: FeatureStore,
+                               records: List[TrainRecord],
+                               threshold: float = 0.9) -> Dict[str, np.ndarray]:
+    """One clip-level score per train clip, thresholded.
+
+    ``scorer`` may wrap a Regressor (n_layers>1 path) or a Classifier head
+    whose abnormal-class probability is taken (the reference's n_layers==1
+    switch, pseudo_labels_generator_spatio.py:54-61,81-84) — pick via the
+    scorer's head kind."""
+    out = {}
+    for rec in records:
+        scores = scorer.score_video(params, store.get(rec.key))
+        out[rec.key + ".npy"] = _threshold(scores, threshold)
+    return out
+
+
+def generate_ltn_pseudo_labels(params, scorer, store: FeatureStore,
+                               records: List[TrainRecord],
+                               threshold: float = 0.65,
+                               dataset: str = "SHT",
+                               segment_len: int = 16) -> Dict[str, np.ndarray]:
+    """Part-level scores expanded back to clip (SHT/UBnormal,
+    pseudo_labels_generator_temporal.py:109-143 — NO tail re-window) or bin
+    (UCF, :66-107) resolution, thresholded per part before expansion.
+
+    ``scorer``: PartScorer(tail_rewindow=False) for SHT/UBnormal,
+    UCFBinnedScorer(l2_normalize=False, tail_rewindow=False) for UCF."""
+    out = {}
+    for rec in records:
+        feat = store.get(rec.key)
+        if dataset == "UCF":
+            n_clips = rec.n_frames // segment_len
+            part_scores, parts, _r = scorer.score_video(params, feat, n_clips)
+            part_scores = _threshold(part_scores, threshold)
+            counts = np.asarray([end - beg for beg, end in parts])
+        else:
+            part_scores, counts = scorer.score_video(params, feat)
+            part_scores = _threshold(part_scores, threshold)
+        out[rec.key + ".npy"] = np.repeat(part_scores, counts)
+    return out
+
+
+def save_pseudo_labels(path: str, pseudo: Dict[str, np.ndarray]):
+    np.save(path, pseudo)  # np.load(..., allow_pickle=True).tolist() reads it

@@ -26,7 +26,8 @@ from ..evaluation.scoring import (ClipScorer, PartScorer, UCFBinnedScorer,
 from ..ckpt import save_checkpoint
 from ..utils.logging import get_logger
 from .state import create_train_state
-from .steps import make_ltn_train_step, make_stn_train_step
+from .steps import (make_ltn_train_step, make_stn_bce_train_step,
+                    make_stn_train_step)
 
 
 @dataclasses.dataclass
@@ -67,7 +68,11 @@ class Trainer:
             mask_h5=d.test_mask_h5) if d.test_txt else []
 
         self.state, self.encoder, self.head, self.tx = create_train_state(cfg)
-        if cfg.model == "stn":
+        if cfg.model == "stn_bce":
+            # co-teaching STN round: MIL + weighted BCE on LTN pseudo labels
+            self.step_fn = make_stn_bce_train_step(self.encoder, self.head,
+                                                   cfg, self.tx)
+        elif cfg.model == "stn":
             self.step_fn = make_stn_train_step(self.encoder, self.head, cfg,
                                                self.tx)
         else:
@@ -77,7 +82,7 @@ class Trainer:
 
     def _build_scorers(self):
         cfg, d = self.cfg, self.cfg.data
-        if cfg.model == "stn":
+        if cfg.model.startswith("stn"):
             if d.dataset == "UCF":
                 self.scorer = UCFClipBinScorer(self.encoder, self.head,
                                                d.n_patch, cfg.max_clips)
@@ -121,7 +126,7 @@ class Trainer:
         cfg, d = self.cfg, self.cfg.data
         params = self.state.params
         items = self._test_items() if split == "test" else self._train_items()
-        if cfg.model == "stn":
+        if cfg.model.startswith("stn"):
             if d.dataset == "UCF":
                 return evaluate_ucf_stn(params, self.scorer, items,
                                         d.segment_len)

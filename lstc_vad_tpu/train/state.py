@@ -44,7 +44,7 @@ def create_train_state(cfg: TrainConfig, seed: int | None = None) -> tuple:
     key = jax.random.PRNGKey(seed)
     k_enc, k_head, k_run = jax.random.split(key, 3)
     d = cfg.encoder.d_model
-    if cfg.model == "stn":
+    if cfg.model.startswith("stn"):
         tokens = cfg.data.n_patch
     else:
         tokens = cfg.data.part_len * cfg.data.n_patch

@@ -20,7 +20,8 @@ import optax
 
 from ..config import TrainConfig
 from ..objectives.losses import (ltn_mil_loss, soft_cross_entropy_on_probs,
-                                 soft_labels_from_pseudo, stn_mil_loss)
+                                 soft_labels_from_pseudo, stn_mil_loss,
+                                 weighted_bce)
 
 
 def _apply_update(tx, state, grads):
@@ -56,6 +57,49 @@ def make_stn_train_step(encoder, head, cfg: TrainConfig, tx):
         feats = jnp.concatenate([norm_feats, abnorm_feats], axis=0)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
             state.params, feats, rng)
+        return _apply_update(tx, state, grads), metrics
+
+    return jax.jit(step, donate_argnums=(0,) if cfg.donate else ())
+
+
+def make_stn_bce_train_step(encoder, head, cfg: TrainConfig, tx):
+    """Co-teaching STN round: MIL + class-weighted BCE on the LTN's pseudo
+    labels (Train/spatio_transformer_MIL_CE.py:166-181 even rounds).
+
+    Per-part targets are the same soft (1-p, p) build as the LTN CE; the BCE
+    compares them against the regressor's part-mean score."""
+    pn, pl = cfg.data.part_num, cfg.data.part_len
+    n_patch, d = cfg.data.n_patch, cfg.encoder.d_model
+    loss_cfg = cfg.loss
+
+    def loss_fn(params, feats, clip_labs, rng):
+        b2 = feats.shape[0]
+        x = feats.reshape(b2 * pn * pl, n_patch, d)
+        r1, r2 = jax.random.split(rng)
+        h = encoder.apply({"params": params["encoder"]}, x,
+                          deterministic=False, rngs={"dropout": r1})
+        scores = head.apply({"params": params["head"]}, h[:, 0, :],
+                            deterministic=False, rngs={"dropout": r2})
+        scores = scores.reshape(b2, pn * pl)
+        mil, err, spar = stn_mil_loss(scores, pn, pl, loss_cfg.lambda_1)
+        part_mean = jnp.mean(scores.reshape(b2, pn, pl), axis=-1)
+        bce = weighted_bce(part_mean, clip_labs, loss_cfg.lambda_normal,
+                           loss_cfg.lambda_abnormal)
+        loss = loss_cfg.lambda_bce * bce + mil
+        return loss, {"loss": loss, "mil": mil, "bce": bce, "err": err,
+                      "l1": spar}
+
+    def step(state, norm_feats, norm_labs, abnorm_feats, abnorm_labs):
+        del norm_labs
+        b = norm_feats.shape[0]
+        norm_labs2 = jnp.zeros((b, pn, 2), jnp.float32).at[:, :, 0].set(1.0)
+        abnorm_soft = soft_labels_from_pseudo(
+            abnorm_labs.reshape(b, pn * pl), pl)
+        clip_labs = jnp.concatenate([norm_labs2, abnorm_soft], axis=0)
+        feats = jnp.concatenate([norm_feats, abnorm_feats], axis=0)
+        rng = jax.random.fold_in(state.rng, state.step)
+        grads, metrics = jax.grad(loss_fn, has_aux=True)(
+            state.params, feats, clip_labs, rng)
         return _apply_update(tx, state, grads), metrics
 
     return jax.jit(step, donate_argnums=(0,) if cfg.donate else ())

@@ -1,0 +1,48 @@
+"""Mesh/sharding: dp x tp train step over the 8-device virtual CPU mesh."""
+
+import jax
+import numpy as np
+import pytest
+from jax.sharding import PartitionSpec as P
+
+from lstc_vad_tpu.parallel import factor_devices, make_mesh, \
+    param_sharding_rules
+from lstc_vad_tpu.parallel.dryrun import run_multichip_step
+
+
+def test_factor_devices():
+    assert factor_devices(1) == (1, 1)
+    assert factor_devices(2) == (1, 2)
+    assert factor_devices(8) == (1, 8)
+    assert factor_devices(16) == (2, 8)
+    assert factor_devices(6, n_head=8) == (3, 2)
+    assert factor_devices(3) == (3, 1)
+
+
+def test_sharding_rules():
+    assert param_sharding_rules(
+        "encoder/layer_0/slf_attn/w_qs/kernel") == P(None, "model")
+    assert param_sharding_rules(
+        "encoder/layer_2/slf_attn/fc/kernel") == P("model", None)
+    assert param_sharding_rules(
+        "encoder/layer_0/slf_attn/relative_position_bias_table") == \
+        P(None, "model")
+    assert param_sharding_rules("encoder/layer_1/pos_ffn/w_1/bias") == \
+        P("model")
+    assert param_sharding_rules("encoder/layer_1/pos_ffn/layer_norm/scale") == P()
+    assert param_sharding_rules("head/mlp/linear_2/kernel") == P()
+
+
+@pytest.mark.parametrize("n_devices", [2, 4, 8])
+def test_multichip_step_runs(n_devices):
+    assert len(jax.devices()) >= n_devices
+    metrics = run_multichip_step(n_devices)
+    assert np.isfinite(metrics["loss"])
+    assert np.isfinite(metrics["ce"])
+
+
+def test_multichip_matches_single_device():
+    m8 = run_multichip_step(8)
+    m1 = run_multichip_step(1)
+    # same math, different partitioning: losses agree to float32 reduction noise
+    assert m8["loss"] == pytest.approx(m1["loss"], rel=1e-4)
