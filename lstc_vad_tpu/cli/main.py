@@ -1,0 +1,274 @@
+"""CLI: one entry point per reference command (README.md:22-59).
+
+    python -m lstc_vad_tpu train      --preset sht_stn  --h5 ... --train-txt ...
+    python -m lstc_vad_tpu train      --preset sht_ltn  --pseudo-labels stn.npy ...
+    python -m lstc_vad_tpu gen-pseudo --kind stn --threshold 0.9 --ckpt ... --out ...
+    python -m lstc_vad_tpu evaluate   --preset sht_ltn --encoder-ckpt ... --head-ckpt ...
+    python -m lstc_vad_tpu coteach    --rounds 4 ...
+    python -m lstc_vad_tpu benchmark
+
+Reference-script equivalence:
+  train --preset {sht,ucf,ubnormal}_{stn,ltn}  ~  Train/{spatio,temporal}_transformer_<ds>.py
+  gen-pseudo --kind {stn,ltn}                  ~  Train/pseudo_labels_generator_{spatio,temporal}.py
+  evaluate                                     ~  Test/evaluation_*.py
+  coteach                                      ~  Train/spatio_transformer_MIL_CE.py + README pipeline
+
+Arbitrary config fields can be overridden with --set path=value (typed by the
+dataclass field), e.g. --set optim.lr_encoder=3e-4 --set encoder.n_layers=2.
+"""
+
+from __future__ import annotations
+
+import argparse
+import dataclasses
+import sys
+
+from ..config import PRESETS, TrainConfig, preset, replace
+from ..utils.logging import get_logger, log_config
+
+
+def _coerce(cfg, path: str, raw: str):
+    node = cfg
+    parts = path.split(".")
+    for p in parts[:-1]:
+        node = getattr(node, p)
+    field = {f.name: f for f in dataclasses.fields(node)}[parts[-1]]
+    t = field.type
+    current = getattr(node, parts[-1])
+    if isinstance(current, bool) or t in ("bool",):
+        return raw.lower() in ("1", "true", "yes", "on")
+    if isinstance(current, int) and not isinstance(current, bool):
+        return int(raw)
+    if isinstance(current, float):
+        return float(raw)
+    if raw == "None":
+        return None
+    return raw
+
+
+def _apply_common(cfg: TrainConfig, args) -> TrainConfig:
+    kw = {}
+    mapping = {
+        "h5": "data.h5_path", "train_txt": "data.train_txt",
+        "test_txt": "data.test_txt", "mask_dir": "data.test_mask_dir",
+        "mask_h5": "data.test_mask_h5",
+        "pseudo_labels": "data.pseudo_labels_path",
+        "batch_size": "data.batch_size", "seed": "data.seed",
+        "epochs": "epochs", "save_dir": "model_save_dir",
+    }
+    for arg_name, cfg_path in mapping.items():
+        val = getattr(args, arg_name, None)
+        if val is not None:
+            kw[cfg_path] = val
+    cfg = replace(cfg, **kw) if kw else cfg
+    for item in args.set or []:
+        path, _, raw = item.partition("=")
+        cfg = replace(cfg, **{path: _coerce(cfg, path, raw)})
+    return cfg
+
+
+def _add_common(p):
+    p.add_argument("--preset", required=True, choices=sorted(PRESETS))
+    p.add_argument("--h5")
+    p.add_argument("--train-txt", dest="train_txt")
+    p.add_argument("--test-txt", dest="test_txt")
+    p.add_argument("--mask-dir", dest="mask_dir")
+    p.add_argument("--mask-h5", dest="mask_h5")
+    p.add_argument("--pseudo-labels", dest="pseudo_labels")
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--epochs", type=int)
+    p.add_argument("--save-dir", dest="save_dir")
+    p.add_argument("--log-dir", dest="log_dir")
+    p.add_argument("--set", action="append", metavar="PATH=VALUE",
+                   help="override any config field, e.g. optim.lr_encoder=3e-4")
+
+
+def _load_params(args, trainer):
+    """Optionally load torch or Orbax checkpoints over the fresh params."""
+    params = trainer.state.params
+    if args.encoder_ckpt or args.head_ckpt:
+        if args.torch_ckpt:
+            from ..ckpt.torch_import import import_torch_checkpoint
+            params, report = import_torch_checkpoint(
+                args.encoder_ckpt, args.head_ckpt, params)
+            if report["skipped"]:
+                print(f"[ckpt] skipped keys: {report['skipped']}",
+                      file=sys.stderr)
+        else:
+            from ..ckpt import load_checkpoint
+            if args.encoder_ckpt:
+                params = load_checkpoint(args.encoder_ckpt, params)
+    trainer.state = trainer.state.replace(params=params)
+    return trainer
+
+
+def cmd_train(args):
+    cfg = _apply_common(preset(args.preset), args)
+    logger = get_logger("train", log_dir=args.log_dir)
+    log_config(logger, cfg)
+    from ..train.driver import Trainer
+
+    trainer = Trainer(cfg, logger=logger)
+    result = trainer.fit(epochs=args.epochs)
+    logger.info("best test AUC %.4f @%d, best train AUC %.4f @%d",
+                result.best_test_auc, result.best_test_epoch,
+                result.best_train_auc, result.best_train_epoch)
+    return 0
+
+
+def cmd_gen_pseudo(args):
+    cfg = _apply_common(preset(args.preset), args)
+    from ..data.datasets import load_train_records
+    from ..evaluation.scoring import (ClipScorer, PartScorer,
+                                      UCFBinnedScorer)
+    from ..pseudo import (generate_ltn_pseudo_labels,
+                          generate_stn_pseudo_labels, save_pseudo_labels)
+    from ..train.driver import Trainer
+
+    trainer = Trainer(cfg)
+    trainer = _load_params(args, trainer)
+    d = cfg.data
+    records = load_train_records(d.dataset, d.train_txt)
+    if args.kind == "stn":
+        scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
+        pseudo = generate_stn_pseudo_labels(trainer.state.params, scorer,
+                                            trainer.store, records,
+                                            args.threshold)
+    else:
+        if d.dataset == "UCF":
+            scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
+                                     d.part_len, d.n_patch,
+                                     l2_normalize=False, tail_rewindow=False)
+        else:
+            scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
+                                d.n_patch, tail_rewindow=False)
+        pseudo = generate_ltn_pseudo_labels(trainer.state.params, scorer,
+                                            trainer.store, records,
+                                            args.threshold,
+                                            dataset=d.dataset,
+                                            segment_len=d.segment_len)
+    save_pseudo_labels(args.out, pseudo)
+    print(f"pseudo labels ({args.kind}, threshold {args.threshold}) "
+          f"-> {args.out}")
+    return 0
+
+
+def cmd_evaluate(args):
+    cfg = _apply_common(preset(args.preset), args)
+    from ..evaluation.drivers import (evaluate_ltn, evaluate_stn,
+                                     evaluate_ucf_ltn, evaluate_ucf_stn)
+    from ..evaluation.scoring import (ClipScorer, PartScorer,
+                                      UCFBinnedScorer, UCFClipBinScorer)
+    from ..train.driver import Trainer
+
+    trainer = Trainer(cfg)
+    trainer = _load_params(args, trainer)
+    params = trainer.state.params
+    d = cfg.data
+    if d.dataset == "UCF":
+        # final-eval path (Test/evaluation_UCF.py): part_len forced to 2,
+        # fixed 32 bins from n_frames//16, L2-normalized features
+        items = [(v.feat, v.anno, v.n_frames // d.segment_len)
+                 for v in trainer.test_videos]
+        if cfg.model.startswith("stn"):
+            scorer = UCFClipBinScorer(trainer.encoder, trainer.head,
+                                      d.n_patch, cfg.max_clips)
+            auc = evaluate_ucf_stn(params, scorer, items, d.segment_len)
+        else:
+            scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
+                                     part_len=2, n_patch=d.n_patch,
+                                     max_clips=cfg.max_clips,
+                                     l2_normalize=True, tail_rewindow=True)
+            auc = evaluate_ucf_ltn(params, scorer, items, d.segment_len)
+    else:
+        items = [(v.feat, v.anno) for v in trainer.test_videos]
+        if cfg.model.startswith("stn"):
+            scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
+            auc = evaluate_stn(params, scorer, items, d.segment_len)
+        else:
+            scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
+                                d.n_patch, tail_rewindow=True)
+            auc = evaluate_ltn(params, scorer, items, d.segment_len)
+    print(f"auc = {auc}")
+    return 0
+
+
+def cmd_coteach(args):
+    stn_cfg = _apply_common(preset(args.stn_preset), args)
+    ltn_cfg = _apply_common(preset(args.ltn_preset), args)
+    from ..pseudo import CoTeachingDriver
+
+    driver = CoTeachingDriver(stn_cfg, ltn_cfg, args.workdir,
+                              stn_threshold=args.stn_threshold,
+                              ltn_threshold=args.ltn_threshold)
+    driver.run(args.rounds, args.stn_epochs, args.ltn_epochs)
+    return 0
+
+
+def cmd_benchmark(_args):
+    import runpy
+    import os
+    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "..",
+                                "bench.py"), run_name="__main__")
+    return 0
+
+
+def main(argv=None):
+    parser = argparse.ArgumentParser(prog="lstc_vad_tpu")
+    sub = parser.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("train", help="train STN or LTN (preset decides)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("gen-pseudo", help="generate pseudo labels")
+    _add_common(p)
+    p.add_argument("--kind", choices=("stn", "ltn"), required=True)
+    p.add_argument("--threshold", type=float, default=0.9)
+    p.add_argument("--out", required=True)
+    p.add_argument("--encoder-ckpt", dest="encoder_ckpt")
+    p.add_argument("--head-ckpt", dest="head_ckpt")
+    p.add_argument("--torch-ckpt", dest="torch_ckpt", action="store_true",
+                   help="checkpoints are torch state_dicts")
+    p.set_defaults(fn=cmd_gen_pseudo)
+
+    p = sub.add_parser("evaluate", help="frame-AUC evaluation")
+    _add_common(p)
+    p.add_argument("--encoder-ckpt", dest="encoder_ckpt")
+    p.add_argument("--head-ckpt", dest="head_ckpt")
+    p.add_argument("--torch-ckpt", dest="torch_ckpt", action="store_true")
+    p.set_defaults(fn=cmd_evaluate)
+
+    p = sub.add_parser("coteach", help="alternating co-teaching rounds")
+    _add_common_coteach(p)
+    p.set_defaults(fn=cmd_coteach)
+
+    p = sub.add_parser("benchmark", help="run bench.py")
+    p.set_defaults(fn=cmd_benchmark)
+
+    args = parser.parse_args(argv)
+    return args.fn(args)
+
+
+def _add_common_coteach(p):
+    p.add_argument("--stn-preset", required=True, choices=sorted(PRESETS))
+    p.add_argument("--ltn-preset", required=True, choices=sorted(PRESETS))
+    p.add_argument("--workdir", required=True)
+    p.add_argument("--rounds", type=int, default=4)
+    p.add_argument("--stn-epochs", type=int, default=100)
+    p.add_argument("--ltn-epochs", type=int, default=100)
+    p.add_argument("--stn-threshold", type=float, default=0.9)
+    p.add_argument("--ltn-threshold", type=float, default=0.65)
+    p.add_argument("--h5")
+    p.add_argument("--train-txt", dest="train_txt")
+    p.add_argument("--test-txt", dest="test_txt")
+    p.add_argument("--mask-dir", dest="mask_dir")
+    p.add_argument("--mask-h5", dest="mask_h5")
+    p.add_argument("--batch-size", dest="batch_size", type=int)
+    p.add_argument("--seed", type=int)
+    p.add_argument("--set", action="append", metavar="PATH=VALUE")
+
+
+if __name__ == "__main__":
+    sys.exit(main())

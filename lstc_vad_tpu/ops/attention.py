@@ -71,8 +71,13 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
                       and (dropout_rate == 0.0 or dropout_rng is None))
         impl = "pallas" if use_pallas else "xla"
     if impl == "pallas":
-        from .pallas_attention import pallas_sdpa
-        return pallas_sdpa(q, k, v, temperature=temperature, bias=bias,
-                           mask=mask)
+        active_dropout = dropout_rate > 0.0 and dropout_rng is not None
+        if active_dropout or return_probs or mask is not None:
+            # the fused kernel has no dropout/probs/mask path; keep the math
+            # correct and fall back (training with attn dropout runs XLA)
+            impl = "xla"
+        else:
+            from .pallas_attention import pallas_sdpa
+            return pallas_sdpa(q, k, v, temperature=temperature, bias=bias)
     return _xla_sdpa(q, k, v, bias, mask, temperature, dropout_rate,
                      dropout_rng, return_probs=return_probs)

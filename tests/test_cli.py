@@ -1,0 +1,56 @@
+"""CLI smoke: train / gen-pseudo / evaluate subcommands on fixture data."""
+
+import numpy as np
+
+from lstc_vad_tpu.cli.main import main
+
+from fixtures import make_sht_like
+
+SMALL = ["--set", "encoder.d_model=16", "--set", "encoder.d_inner=32",
+         "--set", "encoder.n_head=2", "--set", "encoder.d_k=8",
+         "--set", "encoder.d_v=8", "--set", "encoder.n_layers=1",
+         "--set", "encoder.attn_impl=xla",
+         "--set", "head.d_model=16", "--set", "head.hidden_dim=8",
+         "--set", "data.n_patch=4", "--set", "data.d_model=16",
+         "--set", "data.part_num=4", "--set", "data.part_len=3",
+         "--set", "encoder.window_depth=3",
+         "--set", "save_threshold=2.0"]
+
+
+def _common(fixture):
+    h5, train_txt, test_txt, mask_dir = fixture
+    return ["--h5", h5, "--train-txt", train_txt, "--test-txt", test_txt,
+            "--mask-dir", mask_dir + "/", "--batch-size", "2"] + SMALL
+
+
+def test_cli_train_and_pseudo_and_eval(tmp_path, capsys):
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+
+    rc = main(["train", "--preset", "sht_stn", "--epochs", "1",
+               "--save-dir", str(tmp_path / "ckpt")] + common)
+    assert rc == 0
+
+    out = str(tmp_path / "stn_pseudo.npy")
+    rc = main(["gen-pseudo", "--preset", "sht_stn", "--kind", "stn",
+               "--threshold", "0.5", "--out", out] + common)
+    assert rc == 0
+    pseudo = np.load(out, allow_pickle=True).tolist()
+    assert len(pseudo) == 7
+
+    rc = main(["evaluate", "--preset", "sht_ltn"] + common)
+    assert rc == 0
+    captured = capsys.readouterr()
+    assert "auc = " in captured.out
+
+
+def test_cli_set_overrides(tmp_path):
+    from lstc_vad_tpu.cli.main import _apply_common, _coerce
+    from lstc_vad_tpu.config import preset
+
+    cfg = preset("sht_stn")
+    assert _coerce(cfg, "optim.lr_encoder", "3e-4") == 3e-4
+    assert _coerce(cfg, "encoder.n_layers", "2") == 2
+    assert _coerce(cfg, "optim.clip_grad", "true") is True
+    assert _coerce(cfg, "data.sample", "random") == "random"
