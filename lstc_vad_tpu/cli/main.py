@@ -206,6 +206,14 @@ def cmd_coteach(args):
     return 0
 
 
+def cmd_pack(args):
+    from ..data.packed import pack_h5
+
+    pack_h5(args.h5, args.out)
+    print(f"packed {args.h5} -> {args.out}")
+    return 0
+
+
 def cmd_benchmark(_args):
     import runpy
     import os
@@ -246,6 +254,12 @@ def main(argv=None):
 
     p = sub.add_parser("benchmark", help="run bench.py")
     p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("pack", help="convert a reference h5 feature file "
+                                    "into the native .lstcpack store")
+    p.add_argument("--h5", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_pack)
 
     args = parser.parse_args(argv)
     return args.fn(args)

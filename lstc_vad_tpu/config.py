@@ -79,6 +79,7 @@ class DataConfig:
 
     dataset: str = "SHT"            # "SHT" | "UCF" | "UBnormal"
     h5_path: str = ""
+    pack_path: str = ""             # .lstcpack (native mmap store); wins over h5
     train_txt: str = ""
     test_txt: str = ""
     test_mask_dir: str = ""         # SHT/UBnormal per-video .npy frame masks

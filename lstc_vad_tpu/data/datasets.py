@@ -83,6 +83,18 @@ class PairedTrainDataset:
         return self.pseudo_labels[key]
 
     def _sample_video(self, rec: TrainRecord, crop: Optional[int]):
+        # native fast path: index-only sampling + one mmap gather call
+        # (PackedStore), skipping the full-video copy
+        use_gather = (hasattr(self.store, "gather") and crop is None
+                      and not self.double_short)
+        if use_gather:
+            feat_len = self.store.n_clips(rec.key)
+            labs = _labels_for(self._pseudo_for(rec.key), feat_len,
+                               rec.is_abnormal)
+            idx = sample_part_indices(feat_len, self.part_num, self.part_len,
+                                      self.sample, self.rng)
+            feat = self.store.gather(rec.key, idx, self.n_patch)
+            return feat, labs[idx]
         feat = self.store.get(rec.key, crop=crop)
         if self.double_short:
             feat = maybe_double_short(feat, self.part_len)

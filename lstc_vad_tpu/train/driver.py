@@ -50,10 +50,15 @@ class Trainer:
         d = cfg.data
 
         records = load_train_records(d.dataset, d.train_txt)
-        eager_keys = [r.key for r in records] if d.eager else None
-        self.store = FeatureStore(d.h5_path, eager_keys=eager_keys,
-                                  ten_crop=d.ten_crop, n_patch=d.n_patch,
-                                  d_model=d.d_model)
+        if d.pack_path:
+            from .. data.packed import PackedStore
+            self.store = PackedStore(d.pack_path, ten_crop=d.ten_crop,
+                                     n_patch=d.n_patch, d_model=d.d_model)
+        else:
+            eager_keys = [r.key for r in records] if d.eager else None
+            self.store = FeatureStore(d.h5_path, eager_keys=eager_keys,
+                                      ten_crop=d.ten_crop, n_patch=d.n_patch,
+                                      d_model=d.d_model)
         pseudo = (load_pseudo_labels(d.pseudo_labels_path)
                   if d.pseudo_labels_path else None)
         self.dataset = PairedTrainDataset(
