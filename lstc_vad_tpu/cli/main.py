@@ -110,7 +110,14 @@ def cmd_train(args):
     from ..train.driver import Trainer
 
     trainer = Trainer(cfg, logger=logger)
+    if args.resume:
+        trainer.restore_state(args.resume)
+        logger.info("resumed from %s at step %d", args.resume,
+                    int(trainer.state.step))
     result = trainer.fit(epochs=args.epochs)
+    if args.save_state:
+        trainer.save_state(args.save_state)
+        logger.info("saved full train state to %s", args.save_state)
     logger.info("best test AUC %.4f @%d, best train AUC %.4f @%d",
                 result.best_test_auc, result.best_test_epoch,
                 result.best_train_auc, result.best_train_epoch)
@@ -228,6 +235,9 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="train STN or LTN (preset decides)")
     _add_common(p)
+    p.add_argument("--resume", help="restore full train state (Orbax dir)")
+    p.add_argument("--save-state", dest="save_state",
+                   help="save full train state after fitting")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("gen-pseudo", help="generate pseudo labels")

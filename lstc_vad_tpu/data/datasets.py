@@ -125,7 +125,10 @@ class TestVideo:
 
 def load_test_videos(dataset: str, test_txt: str, store: FeatureStore,
                      mask_dir: str = "", mask_h5: str = "") -> List[TestVideo]:
-    """Materialize the test split with per-frame GT, per dataset format."""
+    """Materialize the test split with per-frame GT, per dataset format.
+
+    With a tenCrop store, feats come back [n_clips, 10, n_patch, d] — the
+    tenCrop test loaders' layout (utils/load_dataset.py:338-362,731-755)."""
     videos: List[TestVideo] = []
     if dataset == "SHT":
         for rec in parse_sht_test(test_txt):

@@ -13,7 +13,10 @@ import dataclasses
 import os
 from typing import Callable, Dict, List, Optional
 
+import jax
 import numpy as np
+
+from ..utils.profiling import StepTimer
 
 from ..config import TrainConfig
 from ..data import (BatchIterator, FeatureStore, PairedTrainDataset,
@@ -47,6 +50,7 @@ class Trainer:
         self.cfg = cfg
         self.logger = logger or get_logger()
         self.sharding = sharding
+        self.timer = StepTimer()
         d = cfg.data
 
         records = load_train_records(d.dataset, d.train_txt)
@@ -143,17 +147,41 @@ class Trainer:
     # ---------------------------------------------------------------- train
 
     def train_epoch(self) -> Dict[str, float]:
+        d = self.cfg.data
         batches = Prefetcher(
-            BatchIterator(self.dataset, self.cfg.data.batch_size,
-                          drop_last=True),
+            BatchIterator(self.dataset, d.batch_size, drop_last=True),
             sharding=self.sharding)
+        snippets_per_batch = 2 * d.batch_size * d.part_num * d.part_len
         metrics = {}
-        n = 0
-        for batch in batches:
-            self.state, metrics = self.step_fn(self.state, *batch)
-            n += 1
+        with StepTimer() as timer_total:
+            n = 0
+            for batch in batches:
+                self.state, metrics = self.step_fn(self.state, *batch)
+                n += 1
+            if metrics:
+                jax.block_until_ready(metrics)
         self.dataset.shuffle_keys()
-        return {k: float(v) for k, v in metrics.items()} | {"batches": n}
+        self.timer.steps += n
+        self.timer.items += n * snippets_per_batch
+        self.timer.seconds += timer_total.seconds
+        out = {k: float(v) for k, v in metrics.items()}
+        if n:
+            out["snippets_per_sec"] = n * snippets_per_batch / \
+                max(timer_total.seconds, 1e-9)
+        return out | {"batches": n}
+
+    # ------------------------------------------------------------ ckpt
+
+    def save_state(self, path: str):
+        """Full resumable state: params + optimizer accumulators + step +
+        PRNG key (the reference saves bare state_dicts and restarts its
+        schedule on resume — SURVEY §5 checkpoint/resume)."""
+        save_checkpoint(path, self.state)
+
+    def restore_state(self, path: str):
+        from ..ckpt import load_checkpoint
+
+        self.state = load_checkpoint(path, self.state)
 
     def fit(self, epochs: Optional[int] = None,
             on_eval: Optional[Callable] = None) -> TrainResult:
