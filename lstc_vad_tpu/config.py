@@ -48,6 +48,8 @@ class EncoderConfig:
     weight_init: bool = False      # xavier-uniform over all >=2-D params
     layer_norm_eps: float = 1e-6
     attn_impl: str = "auto"        # "auto" | "xla" | "pallas"
+    compute_dtype: str = "float32" # "float32" | "bfloat16" (matmuls/activations;
+                                   # params, layernorm + softmax stay f32)
 
     @property
     def rpe_num_tokens(self) -> int:

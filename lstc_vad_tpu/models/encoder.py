@@ -40,10 +40,13 @@ class MultiHeadAttention(nn.Module):
                  return_probs: bool = False):
         c = self.cfg
         b, length, _ = x.shape
+        dt = jnp.dtype(c.compute_dtype)
         kernel_init = (init.xavier_uniform_torch() if c.weight_init
                        else init.torch_linear_kernel)
         dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, kernel_init=kernel_init, name=name)
+            feats, use_bias=False, kernel_init=kernel_init, dtype=dt,
+            name=name)
+        x = x.astype(dt)
 
         residual = x
         h, dk, dv = c.n_head, c.d_k, c.d_v
@@ -70,7 +73,9 @@ class MultiHeadAttention(nn.Module):
             out, deterministic=deterministic)
         out = out + residual
         if c.mha_layernorm:
-            out = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(out)
+            # stats in f32 for stability, output back in compute dtype
+            out = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(
+                out.astype(jnp.float32)).astype(dt)
         if return_probs:
             return out, probs
         return out
@@ -114,21 +119,23 @@ class FeedForward(nn.Module):
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
         c = self.cfg
+        dt = jnp.dtype(c.compute_dtype)
         if c.weight_init:
             k1 = k2 = init.xavier_uniform_torch()
         else:
             k1 = k2 = init.torch_linear_kernel
         residual = x
-        x = nn.Dense(c.d_inner, kernel_init=k1,
+        x = nn.Dense(c.d_inner, kernel_init=k1, dtype=dt,
                      bias_init=init.torch_linear_bias(c.d_model), name="w_1")(x)
         x = nn.relu(x)
-        x = nn.Dense(c.d_model, kernel_init=k2,
+        x = nn.Dense(c.d_model, kernel_init=k2, dtype=dt,
                      bias_init=init.torch_linear_bias(c.d_inner), name="w_2")(x)
         x = nn.Dropout(c.ffn_dropout, name="dropout")(
             x, deterministic=deterministic)
         x = x + residual
         if c.ffn_layernorm:
-            x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(x)
+            x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(
+                x.astype(jnp.float32)).astype(dt)
         return x
 
 

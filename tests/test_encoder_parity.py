@@ -122,3 +122,22 @@ def test_dropout_active_in_training_mode(rng):
     det = model.apply(params, x, deterministic=True)
     assert not np.allclose(np.asarray(a), np.asarray(b))
     assert not np.allclose(np.asarray(a), np.asarray(det))
+
+
+def test_bfloat16_compute_close_to_f32(rng):
+    import jax.numpy as jnp
+    cfg32 = EncoderConfig(ffn_layernorm=True, mha_layernorm=True,
+                          relative_pe=True, window_size=4, window_depth=3,
+                          **SMALL)
+    cfg16 = EncoderConfig(ffn_layernorm=True, mha_layernorm=True,
+                          relative_pe=True, window_size=4, window_depth=3,
+                          compute_dtype="bfloat16",
+                          **SMALL)
+    x = rng.standard_normal((2, 48, 64), dtype=np.float32)
+    m32, m16 = Encoder(cfg32), Encoder(cfg16)
+    params = m32.init(jax.random.PRNGKey(0), x)
+    out32 = np.asarray(m32.apply(params, x, deterministic=True))
+    out16 = np.asarray(m16.apply(params, x, deterministic=True),
+                       dtype=np.float32)
+    # bf16 matmuls: ~2-3 decimal digits
+    np.testing.assert_allclose(out16, out32, rtol=0.05, atol=0.08)
