@@ -37,7 +37,11 @@ class MultiHeadAttention(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True,
-                 return_probs: bool = False):
+                 return_probs: bool = False, return_v: bool = False):
+        """``return_probs``/``return_v`` mirror the reference's
+        return_attn / return_attn_v plumbing (Encoder.py:62-70,
+        MultiHeadAttention.py:127-132): per-layer post-dropout attention
+        maps, and the per-head V tensors [B, H, L, d_v]."""
         c = self.cfg
         b, length, _ = x.shape
         dt = jnp.dtype(c.compute_dtype)
@@ -62,9 +66,9 @@ class MultiHeadAttention(nn.Module):
         out = sdpa(q, k, v, temperature=float(np.sqrt(c.d_k)), bias=bias,
                    mask=mask, dropout_rate=c.attn_dropout,
                    dropout_rng=dropout_rng, impl=c.attn_impl,
-                   return_probs=return_probs)
+                   return_probs=return_probs or return_v)
         probs = None
-        if return_probs:
+        if return_probs or return_v:
             out, probs = out
 
         out = out.transpose(0, 2, 1, 3).reshape(b, length, h * dv)
@@ -76,6 +80,8 @@ class MultiHeadAttention(nn.Module):
             # stats in f32 for stability, output back in compute dtype
             out = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(
                 out.astype(jnp.float32)).astype(dt)
+        if return_v:
+            return out, probs, v
         if return_probs:
             return out, probs
         return out
@@ -144,15 +150,20 @@ class EncoderLayer(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True,
-                 return_probs: bool = False):
+                 return_probs: bool = False, return_v: bool = False):
         out = MultiHeadAttention(self.cfg, name="slf_attn")(
-            x, mask, deterministic=deterministic, return_probs=return_probs)
-        probs = None
-        if return_probs:
+            x, mask, deterministic=deterministic, return_probs=return_probs,
+            return_v=return_v)
+        probs = v = None
+        if return_v:
+            out, probs, v = out
+        elif return_probs:
             out, probs = out
         if self.cfg.ffn_need:
             out = FeedForward(self.cfg, name="pos_ffn")(
                 out, deterministic=deterministic)
+        if return_v:
+            return out, probs, v
         if return_probs:
             return out, probs
         return out
@@ -163,8 +174,11 @@ class Encoder(nn.Module):
 
     @nn.compact
     def __call__(self, x, mask=None, *, deterministic: bool = True,
-                 return_probs: bool = False):
-        """x: [B, L, d_model] -> [B, L+1, d_model] (CLS at position 0)."""
+                 return_probs: bool = False, return_v: bool = False):
+        """x: [B, L, d_model] -> [B, L+1, d_model] (CLS at position 0).
+
+        ``return_probs`` -> (out, [per-layer attn maps]);
+        ``return_v``     -> (out, [attn maps], [per-layer V tensors])."""
         c = self.cfg
         if c.input_layernorm:
             x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="input_layer_norm")(x)
@@ -188,13 +202,20 @@ class Encoder(nn.Module):
             x = nn.Dropout(c.position_dropout, name="position_dropout")(
                 x, deterministic=deterministic)
 
-        probs_all = []
+        probs_all, v_all = [], []
         for i in range(c.n_layers):
             x = EncoderLayer(c, name=f"layer_{i}")(
-                x, mask, deterministic=deterministic, return_probs=return_probs)
-            if return_probs:
+                x, mask, deterministic=deterministic,
+                return_probs=return_probs, return_v=return_v)
+            if return_v:
+                x, probs, v = x
+                probs_all.append(probs)
+                v_all.append(v)
+            elif return_probs:
                 x, probs = x
                 probs_all.append(probs)
+        if return_v:
+            return x, probs_all, v_all
         if return_probs:
             return x, probs_all
         return x

@@ -141,3 +141,19 @@ def test_bfloat16_compute_close_to_f32(rng):
                        dtype=np.float32)
     # bf16 matmuls: ~2-3 decimal digits
     np.testing.assert_allclose(out16, out32, rtol=0.05, atol=0.08)
+
+
+def test_return_probs_and_v(rng):
+    cfg = EncoderConfig(**SMALL)
+    x = rng.standard_normal((2, 8, 64), dtype=np.float32)
+    model = Encoder(cfg)
+    params = model.init(jax.random.PRNGKey(0), x)
+    out, probs = model.apply(params, x, deterministic=True, return_probs=True)
+    assert len(probs) == cfg.n_layers
+    assert probs[0].shape == (2, 4, 9, 9)
+    np.testing.assert_allclose(np.asarray(probs[0]).sum(-1), 1.0, rtol=1e-5)
+    out2, probs2, vs = model.apply(params, x, deterministic=True,
+                                   return_v=True)
+    assert len(vs) == cfg.n_layers
+    assert vs[0].shape == (2, 4, 9, 16)
+    np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-6)
