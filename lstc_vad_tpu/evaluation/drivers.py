@@ -29,10 +29,13 @@ def evaluate_stn(params, scorer: ClipScorer, items: Iterable[Item],
                  segment_len: int = 16) -> float:
     """STN whole-video eval: clip scores x segment_len vs annotation head
     (Train/spatio_transformer_shanghaitech.py:133-143; anno=None -> zeros,
-    the normal-video train-split branch :164-165)."""
+    the normal-video train-split branch :164-165).  All videos' clips are
+    scored in large cross-video batches."""
+    items = list(items)
+    per_video = scorer.score_videos(params, [feats for feats, _ in items])
     all_scores, all_labels = [], []
-    for feats, anno in items:
-        s = np.repeat(scorer.score_video(params, feats), segment_len)
+    for clip_scores, (_, anno) in zip(per_video, items):
+        s = np.repeat(clip_scores, segment_len)
         lab = np.zeros(len(s)) if anno is None else np.asarray(
             anno[:len(s)], dtype=np.float64)
         all_scores.append(s[:len(lab)])

@@ -93,6 +93,24 @@ class ClipScorer:
                                       dtype=np.float32)
         return self.scorer.score_tokens(params, tokens)
 
+    def score_videos(self, params, feats_list: List[np.ndarray]
+                     ) -> List[np.ndarray]:
+        """All clips of all videos in large batches (one device call per
+        bucket instead of per video)."""
+        tokens = [np.ascontiguousarray(f[:, :self.n_patch, :],
+                                       dtype=np.float32) for f in feats_list]
+        lengths = [t.shape[0] for t in tokens]
+        big = np.concatenate(tokens, axis=0)
+        chunk = BUCKETS[-2]
+        flat = np.concatenate([
+            self.scorer.score_tokens(params, big[i:i + chunk])
+            for i in range(0, len(big), chunk)])
+        out, cursor = [], 0
+        for n in lengths:
+            out.append(flat[cursor:cursor + n])
+            cursor += n
+        return out
+
 
 class PartScorer:
     """LTN: chunk a video into parts of part_len clips, score all parts in
