@@ -46,9 +46,15 @@ class TrainResult:
 class Trainer:
     """Owns dataset, state, step fn and eval scorers for one config."""
 
-    def __init__(self, cfg: TrainConfig, logger=None, sharding=None):
+    def __init__(self, cfg: TrainConfig, logger=None, sharding=None,
+                 mesh=None):
+        """``mesh``: a ('data','model') jax Mesh — the train state is laid
+        out with the tensor-parallel rules (parallel/mesh.py) and batches
+        arrive sharded on the data axis; XLA GSPMD handles the collectives.
+        ``sharding`` alone just shards input batches (pure dp)."""
         self.cfg = cfg
         self.logger = logger or get_logger()
+        self.mesh = mesh
         self.sharding = sharding
         self.timer = StepTimer()
         d = cfg.data
@@ -77,6 +83,13 @@ class Trainer:
             mask_h5=d.test_mask_h5) if d.test_txt else []
 
         self.state, self.encoder, self.head, self.tx = create_train_state(cfg)
+        if mesh is not None:
+            from ..parallel.mesh import batch_sharding, state_shardings
+
+            self.state = jax.device_put(self.state,
+                                        state_shardings(self.state, mesh))
+            if self.sharding is None:
+                self.sharding = batch_sharding(mesh)
         if cfg.model == "stn_bce":
             # co-teaching STN round: MIL + weighted BCE on LTN pseudo labels
             self.step_fn = make_stn_bce_train_step(self.encoder, self.head,

@@ -1,0 +1,32 @@
+"""Trainer over a real multi-device mesh (virtual CPU devices): sharded
+training matches the unsharded run."""
+
+import jax
+import numpy as np
+import pytest
+
+from lstc_vad_tpu.parallel.mesh import make_mesh
+from lstc_vad_tpu.train.driver import Trainer
+
+import test_train_e2e as e2e
+
+
+def test_trainer_on_mesh_matches_single_device(tmp_path):
+    assert len(jax.devices()) >= 4
+    mesh = make_mesh(data=2, model=2)
+
+    plain = Trainer(e2e._cfg(tmp_path / "plain", "stn"))
+    r_plain = plain.fit(epochs=1)
+
+    sharded = Trainer(e2e._cfg(tmp_path / "mesh", "stn"), mesh=mesh)
+    r_mesh = sharded.fit(epochs=1)
+
+    assert r_mesh.history[0]["loss"] == pytest.approx(
+        r_plain.history[0]["loss"], rel=1e-4)
+    assert r_mesh.history[0]["auc_test"] == pytest.approx(
+        r_plain.history[0]["auc_test"], abs=1e-6)
+    # params end up numerically equal too
+    for a, b in zip(jax.tree.leaves(plain.state.params),
+                    jax.tree.leaves(sharded.state.params)):
+        np.testing.assert_allclose(np.asarray(a), np.asarray(b),
+                                   rtol=2e-4, atol=1e-5)
