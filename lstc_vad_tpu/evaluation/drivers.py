@@ -77,6 +77,26 @@ def evaluate_ucf_ltn(params, scorer: UCFBinnedScorer,
     return _concat_auc(all_scores, all_labels)
 
 
+def evaluate_ucf_per_class(params, scorer: UCFBinnedScorer,
+                           items, class_names, segment_len: int = 16,
+                           n_anomaly_classes: int = 13, logger=None):
+    """Per-anomaly-class breakdown (reference eval_each_part,
+    utils/eval_utils.py:97-122): per-class AUC / PR-AUC / FAR / score gap,
+    plus the Normal class's false-alarm rate.  items: (feats, anno, n_clips)
+    aligned with class_names.  Returns (normal_far, mean_pr_auc)."""
+    from .metrics import eval_each_part
+
+    scores_dict, labels_dict = {}, {}
+    for (feats, anno, n_clips), cls in zip(items, class_names):
+        part_scores, parts, r = scorer.score_video(params, feats, n_clips)
+        vs = ucf_expand(part_scores, parts, r, anno, segment_len)
+        n = min(len(vs.scores), len(vs.labels))
+        scores_dict.setdefault(cls, []).extend(vs.scores[:n])
+        labels_dict.setdefault(cls, []).extend(vs.labels[:n])
+    return eval_each_part(labels_dict, scores_dict,
+                          n_anomaly_classes=n_anomaly_classes, logger=logger)
+
+
 def evaluate_ucf_stn(params, scorer: UCFClipBinScorer,
                      items: Iterable[Tuple[np.ndarray, np.ndarray, int]],
                      segment_len: int = 16) -> float:

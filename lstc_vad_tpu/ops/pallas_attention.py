@@ -1,23 +1,28 @@
-"""Fused SDPA(+bias) Pallas TPU kernel.
+"""Fused SDPA(+bias) Pallas TPU kernel with block-diagonal packing.
 
-One kernel computes softmax(q·k^T/temp + bias)·v for a block of (batch, head)
-pairs, keeping the [L, L] attention matrix in VMEM — it is never written to
-HBM, unlike the unfused XLA lowering which materializes probs between the two
-matmuls.  Sequences here are short (L = part_len*n_patch+1 <= ~81 tokens), so
-a whole attention row-block fits comfortably in VMEM and no K/V streaming
-(flash-attention style chunking) is needed; the kernel is blockwise over the
-batch axis only, so raising part_len later just raises L until VMEM says stop.
+One kernel computes softmax(q·k^T/temp + bias)·v with the attention matrix
+kept in VMEM (never materialized in HBM).  Sequences are short
+(L = part_len*n_patch+1 <= ~81 tokens), which defeats the 128x128 MXU if each
+(batch, head) pair is multiplied alone: a [49, 256]x[256, 49] product uses
+<40% of a systolic pass.  So the kernel PACKS P = floor(128 / L) pairs along
+the token axis into one [P*L, D] block and masks the off-diagonal L x L
+blocks with -1e30 before the softmax:
 
-Grid: (ceil(B / BLOCK_B), H).  Per program:
-  q, k, v block [BLOCK_B, 1, L, D] (one head, BLOCK_B batch rows)
-  bias block    [1, L, L]          (that head's additive bias)
+    attn[packed] = (Q_p / temp) @ K_p^T        # [P*L, P*L] - one MXU pass
+    attn += tile(bias) + block_mask            # bias on diag blocks, -inf off
+    out = softmax(attn) @ V_p                  # off-blocks are exactly 0
+
+P x fewer MXU passes for both matmuls; the extra off-diagonal FLOPs are free
+(the pass is issued anyway).  For the STN (L=17) P=7, for the LTN (L=49) P=2.
+
+No K/V streaming (flash chunking) is needed at these lengths — a whole packed
+row block fits in VMEM; raising part_len later just raises L until P hits 1
+and VMEM says stop.
 
 The backward pass recomputes attention through the XLA path (flash-style
-recompute; the training path usually runs XLA anyway because attention
-dropout is on — see ops/attention.sdpa dispatch).
-
-Mask is not supported here (the reference never passes one at runtime);
-dispatch falls back to XLA when a mask is given.
+recompute); training usually runs XLA anyway because attention dropout is on
+(see ops/attention.sdpa dispatch).  Masks fall back to XLA (the reference
+never passes one at runtime).
 """
 
 from __future__ import annotations
@@ -31,48 +36,54 @@ import numpy as np
 from jax.experimental import pallas as pl
 from jax.experimental.pallas import tpu as pltpu
 
+NEG = -1e30
 
-def _kernel_bias(q_ref, k_ref, v_ref, bias_ref, o_ref, *, inv_temp):
-    q = q_ref[:][:, 0]                       # [G, L, D]
-    k = k_ref[:][:, 0]
-    v = v_ref[:][:, 0]
+
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, inv_temp, pack):
+    g = q_ref.shape[0]
+    length, d = q_ref.shape[2], q_ref.shape[3]
+    nq = g // pack
+    qp = q_ref[:][:, 0].reshape(nq, pack * length, d)
+    kp = k_ref[:][:, 0].reshape(nq, pack * length, d)
+    vp = v_ref[:][:, 0].reshape(nq, pack * length, d)
     attn = jax.lax.dot_general(
-        q * inv_temp, k,
+        qp * inv_temp, kp,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # [G, L, L]
-    attn = attn + bias_ref[:].astype(jnp.float32)  # [1, L, L] broadcasts
+        preferred_element_type=jnp.float32)        # [nq, P*L, P*L]
+    attn = attn + mask_ref[:].astype(jnp.float32)  # bias-on-diag + -inf off
     probs = jax.nn.softmax(attn, axis=-1)
     out = jax.lax.dot_general(
-        probs.astype(v.dtype), v,
+        probs.astype(vp.dtype), vp,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)  # [G, L, D]
-    o_ref[:] = out[:, None].astype(o_ref.dtype)
+        preferred_element_type=jnp.float32)        # [nq, P*L, D]
+    o_ref[:] = out.reshape(g, 1, length, d).astype(o_ref.dtype)
 
 
-def _kernel_nobias(q_ref, k_ref, v_ref, o_ref, *, inv_temp):
-    q = q_ref[:][:, 0]
-    k = k_ref[:][:, 0]
-    v = v_ref[:][:, 0]
-    attn = jax.lax.dot_general(
-        q * inv_temp, k,
-        dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    probs = jax.nn.softmax(attn, axis=-1)
-    out = jax.lax.dot_general(
-        probs.astype(v.dtype), v,
-        dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)
-    o_ref[:] = out[:, None].astype(o_ref.dtype)
+def _pack_count(length: int) -> int:
+    return max(1, 128 // length)
 
 
-def _block_b(b: int, length: int, d: int, itemsize: int) -> int:
-    """Largest power-of-2 batch block (<=64) keeping ~<=8MB of VMEM."""
+def _block_b(b: int, length: int, d: int, itemsize: int, pack: int) -> int:
+    """Batch rows per program: a multiple of ``pack``, sized to ~<=8MB VMEM."""
     budget = 8 * 1024 * 1024
-    per_row = itemsize * (3 * length * d + length * d) + 4 * length * length
-    g = 64
-    while g > 1 and (g * per_row > budget or b % g != 0):
-        g //= 2
-    return g
+    per_row = itemsize * 4 * length * d + 4 * pack * length * length
+    q = max(1, min(64 // pack, budget // max(1, per_row * pack)))
+    return q * pack
+
+
+def _packed_mask(bias: Optional[np.ndarray], length: int, pack: int,
+                 h: int) -> jnp.ndarray:
+    """[H, P*L, P*L]: bias tiled on the diagonal blocks, NEG elsewhere."""
+    pl_ = pack * length
+    block = np.full((pl_, pl_), NEG, dtype=np.float32)
+    for i in range(pack):
+        s = i * length
+        block[s:s + length, s:s + length] = 0.0
+    mask = jnp.asarray(block)[None]                       # [1, PL, PL]
+    if bias is None:
+        return jnp.broadcast_to(mask, (h, pl_, pl_))
+    tiled = jnp.tile(bias, (1, pack, pack))               # [H, PL, PL]
+    return jnp.where(mask == 0.0, tiled + 0.0, mask)
 
 
 @functools.partial(jax.custom_vjp, nondiff_argnums=(4, 5))
@@ -82,7 +93,8 @@ def _pallas_sdpa(q, k, v, bias, temperature, interpret):
 
 def _forward(q, k, v, bias, temperature, interpret):
     b, h, length, d = q.shape
-    g = _block_b(b, length, d, q.dtype.itemsize)
+    pack = _pack_count(length)
+    g = _block_b(b, length, d, q.dtype.itemsize, pack)
     pad = (-b) % g
     if pad:
         q, k, v = (jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
@@ -90,29 +102,20 @@ def _forward(q, k, v, bias, temperature, interpret):
     bp = q.shape[0]
     grid = (bp // g, h)
     inv_temp = np.float32(1.0 / temperature)
+    mask = _packed_mask(bias, length, pack, h)
     qkv_spec = pl.BlockSpec((g, 1, length, d), lambda i, j: (i, j, 0, 0),
                             memory_space=pltpu.VMEM)
-    if bias is not None:
-        out = pl.pallas_call(
-            functools.partial(_kernel_bias, inv_temp=inv_temp),
-            out_shape=jax.ShapeDtypeStruct((bp, h, length, d), q.dtype),
-            grid=grid,
-            in_specs=[qkv_spec, qkv_spec, qkv_spec,
-                      pl.BlockSpec((1, length, length),
-                                   lambda i, j: (j, 0, 0),
-                                   memory_space=pltpu.VMEM)],
-            out_specs=qkv_spec,
-            interpret=interpret,
-        )(q, k, v, bias)
-    else:
-        out = pl.pallas_call(
-            functools.partial(_kernel_nobias, inv_temp=inv_temp),
-            out_shape=jax.ShapeDtypeStruct((bp, h, length, d), q.dtype),
-            grid=grid,
-            in_specs=[qkv_spec, qkv_spec, qkv_spec],
-            out_specs=qkv_spec,
-            interpret=interpret,
-        )(q, k, v)
+    out = pl.pallas_call(
+        functools.partial(_kernel, inv_temp=inv_temp, pack=pack),
+        out_shape=jax.ShapeDtypeStruct((bp, h, length, d), q.dtype),
+        grid=grid,
+        in_specs=[qkv_spec, qkv_spec, qkv_spec,
+                  pl.BlockSpec((1, pack * length, pack * length),
+                               lambda i, j: (j, 0, 0),
+                               memory_space=pltpu.VMEM)],
+        out_specs=qkv_spec,
+        interpret=interpret,
+    )(q, k, v, mask)
     return out[:b] if pad else out
 
 

@@ -1,0 +1,114 @@
+"""Evaluation drivers on fixture data: UCF binned paths, per-class breakdown,
+and UCF STN bin expansion semantics."""
+
+import numpy as np
+import pytest
+
+from lstc_vad_tpu.config import EncoderConfig
+from lstc_vad_tpu.data import FeatureStore, load_test_videos
+from lstc_vad_tpu.data.annotations import parse_ucf_test
+from lstc_vad_tpu.evaluation.drivers import (evaluate_ucf_ltn,
+                                             evaluate_ucf_per_class,
+                                             evaluate_ucf_stn)
+from lstc_vad_tpu.evaluation.frame_auc import (ucf_bin_edges, ucf_bin_pool,
+                                               ucf_part_plan)
+from lstc_vad_tpu.evaluation.scoring import UCFBinnedScorer, UCFClipBinScorer
+from lstc_vad_tpu.models import Encoder, make_head
+
+from fixtures import make_ucf_like
+
+import jax
+
+SMALL = dict(d_model=16, d_inner=24, n_head=2, d_k=8, d_v=8, n_layers=1,
+             attn_impl="xla")
+
+
+@pytest.fixture(scope="module")
+def ucf(tmp_path_factory):
+    root = tmp_path_factory.mktemp("ucf")
+    h5, train_txt, test_txt, gt_h5 = make_ucf_like(str(root), n_patch=3,
+                                                   d_model=16)
+    store = FeatureStore(h5)
+    videos = load_test_videos("UCF", test_txt, store, mask_h5=gt_h5)
+    records = parse_ucf_test(test_txt)
+    return videos, records
+
+
+@pytest.fixture(scope="module")
+def ltn_model():
+    cfg = EncoderConfig(relative_pe=True, window_size=4, window_depth=2,
+                        mha_layernorm=True, ffn_layernorm=True, **SMALL)
+    enc = Encoder(cfg)
+    head = make_head("classifier", 16, 8)
+    params = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 6, 16), np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, 16), np.float32))["params"]}
+    return enc, head, params
+
+
+def test_ucf_ltn_final_eval(ucf, ltn_model):
+    videos, _ = ucf
+    enc, head, params = ltn_model
+    scorer = UCFBinnedScorer(enc, head, part_len=2, n_patch=3, max_clips=8,
+                             l2_normalize=True, tail_rewindow=True)
+    items = [(v.feat, v.anno, v.n_frames // 16) for v in videos]
+    auc = evaluate_ucf_ltn(params, scorer, items)
+    assert 0.0 <= auc <= 1.0
+
+
+def test_ucf_ltn_training_eval_flags(ucf, ltn_model):
+    videos, _ = ucf
+    enc, head, params = ltn_model
+    scorer = UCFBinnedScorer(enc, head, part_len=2, n_patch=3, max_clips=8,
+                             l2_normalize=False, tail_rewindow=False,
+                             adaptive_bins=True)
+    items = [(v.feat, v.anno, v.feat.shape[0]) for v in videos]
+    auc = evaluate_ucf_ltn(params, scorer, items)
+    assert 0.0 <= auc <= 1.0
+
+
+def test_ucf_per_class(ucf, ltn_model):
+    videos, records = ucf
+    enc, head, params = ltn_model
+    scorer = UCFBinnedScorer(enc, head, part_len=2, n_patch=3, max_clips=8)
+    items = [(v.feat, v.anno, v.n_frames // 16) for v in videos]
+    classes = [r.class_name for r in records]
+    far, mean_ap = evaluate_ucf_per_class(params, scorer, items, classes,
+                                          n_anomaly_classes=1)
+    assert 0.0 <= far <= 1.0
+    assert mean_ap > 0.0
+
+
+def test_ucf_stn_eval(ucf):
+    videos, _ = ucf
+    cfg = EncoderConfig(ffn_layernorm=True, **SMALL)
+    enc = Encoder(cfg)
+    head = make_head("regressor", 16, 8)
+    params = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 3, 16), np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, 16), np.float32))["params"]}
+    scorer = UCFClipBinScorer(enc, head, n_patch=3, max_clips=8)
+    items = [(v.feat, v.anno, v.n_frames // 16) for v in videos]
+    auc = evaluate_ucf_stn(params, scorer, items)
+    assert 0.0 <= auc <= 1.0
+
+
+def test_ucf_bin_pool_empty_bins():
+    feats = np.arange(3 * 2 * 4, dtype=np.float32).reshape(3, 2, 4)
+    r = ucf_bin_edges(3, 8)  # more bins than clips -> empty bins
+    binned = ucf_bin_pool(feats, r)
+    assert binned.shape == (8,) + feats.shape[1:]
+    # an empty bin re-uses the clip at its start
+    for i in range(8):
+        if r[i] == r[i + 1]:
+            np.testing.assert_array_equal(binned[i], feats[r[i]])
+
+
+def test_ucf_part_plan_tail_overlap():
+    # 8 bins, part_len 3 -> parts (0,3), (3,6), tail re-windowed to (5,8)
+    assert ucf_part_plan(8, 3) == [(0, 3), (3, 6), (5, 8)]
+    assert ucf_part_plan(6, 3) == [(0, 3), (3, 6)]
