@@ -64,9 +64,12 @@ def _pack_count(length: int) -> int:
 
 
 def _block_b(b: int, length: int, d: int, itemsize: int, pack: int) -> int:
-    """Batch rows per program: a multiple of ``pack``, sized to ~<=8MB VMEM."""
-    budget = 8 * 1024 * 1024
-    per_row = itemsize * 4 * length * d + 4 * pack * length * length
+    """Batch rows per program: a multiple of ``pack``, sized so that the
+    DOUBLE-BUFFERED q/k/v/o blocks plus the packed attention scratch stay
+    within ~12MB of the 16MB VMEM."""
+    budget = 12 * 1024 * 1024
+    # 4 operands x 2 (pipeline double buffering) + attn rows (f32)
+    per_row = 8 * itemsize * length * d + 4 * pack * length * length
     q = max(1, min(64 // pack, budget // max(1, per_row * pack)))
     return q * pack
 

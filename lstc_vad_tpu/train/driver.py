@@ -197,11 +197,17 @@ class Trainer:
         self.state = load_checkpoint(path, self.state)
 
     def fit(self, epochs: Optional[int] = None,
-            on_eval: Optional[Callable] = None) -> TrainResult:
+            on_eval: Optional[Callable] = None,
+            autosave_every: Optional[int] = None) -> TrainResult:
+        """``autosave_every``: save the full resumable state every N epochs
+        (failure recovery — restart with restore_state and continue exactly;
+        the reference has no such story, SURVEY §5)."""
         cfg = self.cfg
         result = TrainResult()
         epochs = cfg.epochs if epochs is None else epochs
         for epoch in range(epochs):
+            if autosave_every and epoch and epoch % autosave_every == 0:
+                self.save_state(os.path.join(cfg.model_save_dir, "autosave"))
             m = self.train_epoch()
             result.steps += m.pop("batches")
             self.logger.info("[epoch %d] %s", epoch,

@@ -122,3 +122,24 @@ def test_part_scorer_matches_naive_loop(tmp_path):
                                    h[:, 0, :], deterministic=True)
         naive = float(probs[0, 1])
         assert batched[i] == pytest.approx(naive, abs=1e-5)
+
+
+def test_stn_tencrop_training(tmp_path):
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.config import (DataConfig, EncoderConfig, HeadConfig,
+                                     TrainConfig)
+    h5_path, train_txt, _, _ = make_sht_like(
+        str(tmp_path), n_patch=4, d_model=16, n_clips=(14, 30), ten_crop=True)
+    cfg = TrainConfig(
+        model="stn",
+        encoder=EncoderConfig(ffn_layernorm=True, **SMALL_ENC),
+        head=HeadConfig(kind="regressor", d_model=16, hidden_dim=8),
+        data=DataConfig(dataset="SHT", h5_path=h5_path, train_txt=train_txt,
+                        test_txt="", n_patch=4, d_model=16, part_num=4,
+                        part_len=3, batch_size=2, ten_crop=True),
+        epochs=1, inter_epoch=1, save_threshold=2.0,
+        eval_train_split=False,
+        model_save_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg)
+    result = trainer.fit(epochs=1)
+    assert result.steps == 1
