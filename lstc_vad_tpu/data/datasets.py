@@ -113,6 +113,42 @@ class PairedTrainDataset:
         af, al = self._sample_video(self.abnormal[self._abnorm_perm[item]], crop)
         return nf, nl, af, al
 
+    def get_batch(self, start: int, stop: int):
+        """Whole-batch fast path: sample all window indices on host, then ONE
+        native gather call for every (video, window) pair of the batch
+        (PackedStore.gather_batch).  Returns the stacked 4-tuple, or None when
+        the store/flags don't support it (caller falls back to per-item)."""
+        if not (hasattr(self.store, "gather_batch") and not self.ten_crop
+                and not self.double_short):
+            return None
+        n = stop - start
+        keys: list = []
+        idx = np.empty((2 * n, self.part_num * self.part_len), dtype=np.int64)
+        labs = []
+        for j, item in enumerate(range(start, stop)):
+            for half, (recs, perm) in enumerate(
+                    ((self.normal, self._norm_perm),
+                     (self.abnormal, self._abnorm_perm))):
+                rec = recs[perm[item]]
+                feat_len = self.store.n_clips(rec.key)
+                row = sample_part_indices(feat_len, self.part_num,
+                                          self.part_len, self.sample,
+                                          self.rng)
+                lab = _labels_for(self._pseudo_for(rec.key), feat_len,
+                                  rec.is_abnormal)[row]
+                slot = j + half * n
+                keys.append((slot, rec.key))
+                idx[slot] = row
+                labs.append((slot, lab))
+        keys.sort()
+        _, _, d_model = self.store._np.shape(keys[0][1])
+        feats = self.store.gather_batch([k for _, k in keys], idx,
+                                        self.n_patch, d_model)
+        lab_arr = np.empty((2 * n, idx.shape[1]), dtype=np.float32)
+        for slot, lab in labs:
+            lab_arr[slot] = lab
+        return (feats[:n], lab_arr[:n], feats[n:], lab_arr[n:])
+
 
 @dataclasses.dataclass
 class TestVideo:

@@ -120,3 +120,32 @@ def test_packed_store_in_dataset(tmp_path, rng):
     nf, nl, af, al = ds[0]
     assert nf.shape == (12, 4, 16)
     assert nf.dtype == np.float32
+
+
+def test_batch_fast_path_matches_per_item(tmp_path, rng, native_available):
+    h5_path, train_txt, _, _ = make_sht_like(str(tmp_path), n_patch=4,
+                                             d_model=16, n_clips=(14, 30))
+    pack_path = str(tmp_path / "fp.lstcpack")
+    pack_h5(h5_path, pack_path)
+
+    from lstc_vad_tpu.data import BatchIterator, PairedTrainDataset
+    from lstc_vad_tpu.data.datasets import load_train_records
+
+    records = load_train_records("SHT", train_txt)
+    kw = dict(part_num=4, part_len=3, n_patch=4, sample="uniform", seed=7)
+    fast = PairedTrainDataset(records, PackedStore(pack_path), **kw)
+    slow = PairedTrainDataset(records, PackedStore(pack_path), **kw)
+
+    batch_fast = fast.get_batch(0, 2)
+    assert batch_fast is not None
+    items = [slow[i] for i in range(2)]
+    batch_slow = tuple(np.stack([it[j] for it in items]) for j in range(4))
+    for a, b in zip(batch_fast, batch_slow):
+        np.testing.assert_array_equal(a, b)
+
+    # and through the BatchIterator
+    it_fast = list(BatchIterator(
+        PairedTrainDataset(records, PackedStore(pack_path), **kw), 2))
+    assert len(it_fast) == 1
+    for a, b in zip(it_fast[0], batch_slow):
+        np.testing.assert_array_equal(a, b)
