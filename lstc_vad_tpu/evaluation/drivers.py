@@ -67,9 +67,11 @@ def evaluate_ucf_ltn(params, scorer: UCFBinnedScorer,
     (Test/evaluation_UCF.py:44-87 with the scorer's final-eval flags;
     Train/temporal_transformer_UCF.py:139-172 with in-training flags).
     items: (feats, anno, n_clips)."""
+    items = list(items)
+    results = scorer.score_videos(params,
+                                  [(f, n) for f, _, n in items])
     all_scores, all_labels = [], []
-    for feats, anno, n_clips in items:
-        part_scores, parts, r = scorer.score_video(params, feats, n_clips)
+    for (part_scores, parts, r), (_, anno, _) in zip(results, items):
         vs = ucf_expand(part_scores, parts, r, anno, segment_len)
         n = min(len(vs.scores), len(vs.labels))
         all_scores.append(vs.scores[:n])

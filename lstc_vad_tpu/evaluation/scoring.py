@@ -69,8 +69,15 @@ class VideoScorer:
         return apply
 
     def score_tokens(self, params, tokens: np.ndarray) -> np.ndarray:
-        """tokens: [B, T, d] float32 -> scores [B] (host numpy)."""
+        """tokens: [B, T, d] float32 -> scores [B] (host numpy).
+        Large batches are chunked so one device program never exceeds the
+        top bucket."""
         n = tokens.shape[0]
+        chunk = BUCKETS[-2]
+        if n > chunk:
+            return np.concatenate([
+                self.score_tokens(params, tokens[i:i + chunk])
+                for i in range(0, n, chunk)])
         bucket = pad_to_bucket(n)
         if bucket != n:
             pad = np.zeros((bucket - n,) + tokens.shape[1:], tokens.dtype)
@@ -234,6 +241,40 @@ class UCFBinnedScorer:
                                     length * self.n_patch, d)
             scores[part_ids] = self.scorer.score_tokens(params, tokens)
         return scores, parts, r
+
+    def _plan(self, feats: np.ndarray, n_clips: int):
+        feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+                                     dtype=np.float32)
+        bins = min(self.max_clips, n_clips) if self.adaptive_bins \
+            else self.max_clips
+        r = ucf_bin_edges(n_clips, bins)
+        binned = ucf_bin_pool(feats, r)
+        if self.tail_rewindow:
+            parts = ucf_part_plan(bins, self.part_len)
+        else:
+            from .frame_auc import part_bounds
+            parts = part_bounds(bins, self.part_len)
+        return binned, parts, r
+
+    def score_videos(self, params, items):
+        """Cross-video batched variant: items = [(feats, n_clips)].
+        Returns [(part_scores, parts, r)] aligned with items — one device
+        call per token-length group across ALL videos."""
+        plans = [self._plan(f, n) for f, n in items]
+        groups: dict = {}
+        for v, (binned, parts, _r) in enumerate(plans):
+            for i, (beg, end) in enumerate(parts):
+                d = binned.shape[-1]
+                tok = binned[beg:end].reshape((end - beg) * self.n_patch, d)
+                groups.setdefault(end - beg, []).append((v, i, tok))
+        outs = [np.empty(len(parts), np.float32) for _, parts, _ in plans]
+        for length, entries in groups.items():
+            tokens = np.stack([tok for _, _, tok in entries])
+            flat = self.scorer.score_tokens(params, tokens)
+            for (v, i, _), s in zip(entries, flat):
+                outs[v][i] = s
+        return [(outs[v], plans[v][1], plans[v][2])
+                for v in range(len(plans))]
 
 
 class UCFClipBinScorer:

@@ -39,24 +39,22 @@ from jax.experimental.pallas import tpu as pltpu
 NEG = -1e30
 
 
-def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, inv_temp, pack):
-    g = q_ref.shape[0]
-    length, d = q_ref.shape[2], q_ref.shape[3]
-    nq = g // pack
-    qp = q_ref[:][:, 0].reshape(nq, pack * length, d)
-    kp = k_ref[:][:, 0].reshape(nq, pack * length, d)
-    vp = v_ref[:][:, 0].reshape(nq, pack * length, d)
+def _kernel(q_ref, k_ref, v_ref, mask_ref, o_ref, *, inv_temp):
+    # blocks are pre-packed on host: [Q, 1, P*L, D] per program, one head
+    qp = q_ref[:][:, 0]                            # [Q, P*L, D]
+    kp = k_ref[:][:, 0]
+    vp = v_ref[:][:, 0]
     attn = jax.lax.dot_general(
         qp * inv_temp, kp,
         dimension_numbers=(((2,), (2,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)        # [nq, P*L, P*L]
+        preferred_element_type=jnp.float32)        # [Q, P*L, P*L]
     attn = attn + mask_ref[:].astype(jnp.float32)  # bias-on-diag + -inf off
     probs = jax.nn.softmax(attn, axis=-1)
     out = jax.lax.dot_general(
         probs.astype(vp.dtype), vp,
         dimension_numbers=(((2,), (1,)), ((0,), (0,))),
-        preferred_element_type=jnp.float32)        # [nq, P*L, D]
-    o_ref[:] = out.reshape(g, 1, length, d).astype(o_ref.dtype)
+        preferred_element_type=jnp.float32)        # [Q, P*L, D]
+    o_ref[:] = out[:, None].astype(o_ref.dtype)
 
 
 def _pack_count(length: int) -> int:
@@ -103,22 +101,34 @@ def _forward(q, k, v, bias, temperature, interpret):
         q, k, v = (jnp.pad(x, ((0, pad), (0, 0), (0, 0), (0, 0)))
                    for x in (q, k, v))
     bp = q.shape[0]
-    grid = (bp // g, h)
+    nq = g // pack        # packed groups per program
+    npk = bp // pack      # total packed groups
+    pl_ = pack * length
+
+    def host_pack(x):
+        # [B, H, L, D] -> [B/P, H, P*L, D]: one fused HBM relayout by XLA,
+        # so the kernel never reshapes across tile boundaries
+        x = x.reshape(npk, pack, h, length, d).transpose(0, 2, 1, 3, 4)
+        return x.reshape(npk, h, pl_, d)
+
+    qp, kp, vp = host_pack(q), host_pack(k), host_pack(v)
+    grid = (npk // nq, h)
     inv_temp = np.float32(1.0 / temperature)
     mask = _packed_mask(bias, length, pack, h)
-    qkv_spec = pl.BlockSpec((g, 1, length, d), lambda i, j: (i, j, 0, 0),
-                            memory_space=pltpu.VMEM)
+    spec = pl.BlockSpec((nq, 1, pl_, d), lambda i, j: (i, j, 0, 0),
+                        memory_space=pltpu.VMEM)
     out = pl.pallas_call(
-        functools.partial(_kernel, inv_temp=inv_temp, pack=pack),
-        out_shape=jax.ShapeDtypeStruct((bp, h, length, d), q.dtype),
+        functools.partial(_kernel, inv_temp=inv_temp),
+        out_shape=jax.ShapeDtypeStruct((npk, h, pl_, d), q.dtype),
         grid=grid,
-        in_specs=[qkv_spec, qkv_spec, qkv_spec,
-                  pl.BlockSpec((1, pack * length, pack * length),
-                               lambda i, j: (j, 0, 0),
+        in_specs=[spec, spec, spec,
+                  pl.BlockSpec((1, pl_, pl_), lambda i, j: (j, 0, 0),
                                memory_space=pltpu.VMEM)],
-        out_specs=qkv_spec,
+        out_specs=spec,
         interpret=interpret,
-    )(q, k, v, mask)
+    )(qp, kp, vp, mask)
+    out = out.reshape(npk, h, pack, length, d).transpose(0, 2, 1, 3, 4)
+    out = out.reshape(bp, h, length, d)
     return out[:b] if pad else out
 
 
