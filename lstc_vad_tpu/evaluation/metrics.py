@@ -17,8 +17,9 @@ import numpy as np
 __all__ = [
     "roc_auc", "pr_auc", "average_precision", "f1", "rmse", "false_alarm",
     "false_neg", "precision", "recall", "accuracy", "specificity",
-    "sensitivity", "score_gap", "geometric_mean", "f_measure", "mcc", "p_auc",
-    "eval_frame_auc", "eval_each_part",
+    "sensitivity", "score_gap", "geometric_mean", "f_measure", "mcc",
+    "mcc_standard", "p_auc", "classification_accuracy",
+    "classification_accuracy_binary", "eval_frame_auc", "eval_each_part",
 ]
 
 
@@ -186,6 +187,23 @@ def p_auc(scores, labels) -> float:
     sum_p = np.sum(s[y.astype(bool)])
     sum_n = np.sum(s[(1 - y).astype(bool)])
     return float(0.5 * (sum_p / n_pos - sum_n / n_neg + 1))
+
+
+def classification_accuracy(logits, labels) -> float:
+    """Top-1 accuracy from per-class logits (reference eval_classification,
+    eval_utils.py:124-129)."""
+    pred = np.argmax(np.asarray(logits), axis=1)
+    return float(np.mean(pred == _as1d(labels)))
+
+
+def classification_accuracy_binary(scores, labels,
+                                   threshold: float = 0.5) -> float:
+    """Binary accuracy from scalar scores (reference
+    eval_classification_binary, eval_utils.py:131-136)."""
+    s, y = _as1d(scores), _as1d(labels)
+    pos_true = np.sum((y == 1) & (s > threshold))
+    neg_true = np.sum((y == 0) & (s < threshold))
+    return float((pos_true + neg_true) / len(s))
 
 
 def eval_frame_auc(scores, labels, logger=None) -> float:

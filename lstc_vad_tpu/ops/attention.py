@@ -66,10 +66,14 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
          return_probs: bool = False):
     """Dispatching SDPA. ``impl``: "auto" | "xla" | "pallas"."""
     if impl == "auto":
-        on_tpu = jax.default_backend() == "tpu"
-        use_pallas = (on_tpu and not return_probs and _pallas_available()
-                      and (dropout_rate == 0.0 or dropout_rng is None))
-        impl = "pallas" if use_pallas else "xla"
+        # Measured on v5e (f32, B=256-1024, H=8, D=256): XLA's batched-gemm +
+        # fusion beats the fused Pallas kernel at these sequence lengths
+        # (L=17: 2.6ms vs 5.1ms; L=49: 1.9ms vs 2.9ms per call) — the model's
+        # FLOPs are dominated by the d_model/d_inner projections, which XLA
+        # already runs near MXU peak, and attention is too short to gain from
+        # staying in VMEM.  The kernel remains available via impl="pallas"
+        # (its blockwise structure pays off if part_len grows L toward 128+).
+        impl = "xla"
     if impl == "pallas":
         active_dropout = dropout_rate > 0.0 and dropout_rng is not None
         if active_dropout or return_probs or mask is not None:

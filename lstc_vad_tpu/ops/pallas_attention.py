@@ -23,6 +23,14 @@ The backward pass recomputes attention through the XLA path (flash-style
 recompute); training usually runs XLA anyway because attention dropout is on
 (see ops/attention.sdpa dispatch).  Masks fall back to XLA (the reference
 never passes one at runtime).
+
+MEASUREMENT (v5e, f32, H=8, D=256): at the reference's sequence lengths XLA's
+batched gemms win — L=49/B=256: pallas 2.9ms vs xla 1.9ms; L=17/B=1024:
+pallas 5.1ms vs xla 2.6ms per call (both packing variants; the in-kernel
+reshape variant was no better).  The model's runtime is dominated by the
+d_model/d_inner projections, so sdpa's impl="auto" selects XLA; this kernel
+stays as an opt-in whose blockwise structure becomes profitable when
+part_len pushes L toward >=128 (pack=1, true flash regime).
 """
 
 from __future__ import annotations

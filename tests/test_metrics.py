@@ -83,3 +83,17 @@ def test_f1_rmse_gap(rng):
 def test_eval_frame_auc_is_roc_auc(rng):
     scores, labels = _data(rng)
     assert M.eval_frame_auc(list(scores), list(labels)) == M.roc_auc(scores, labels)
+
+
+def test_classification_accuracies(rng):
+    logits = rng.standard_normal((50, 2))
+    labels = (rng.random(50) < 0.5).astype(float)
+    acc = M.classification_accuracy(logits, labels)
+    expected = np.mean(np.argmax(logits, 1) == labels)
+    assert acc == pytest.approx(expected)
+
+    scores = rng.random(50)
+    acc_b = M.classification_accuracy_binary(scores, labels)
+    expected_b = np.mean(((labels == 1) & (scores > 0.5))
+                         | ((labels == 0) & (scores < 0.5)))
+    assert acc_b == pytest.approx(expected_b)
