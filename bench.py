@@ -70,13 +70,17 @@ def main():
               for i in range(0, len(all_parts), batch)]
     total_snippets = n_videos * clips_per_video
 
-    # --- batched path (ours): large device batches, one drain at the end ---
+    # --- batched path (ours): large device batches, one drain per sweep ---
     float(apply(params, staged[0]).sum())  # compile
+    for chunk in staged:                   # warm sweep
+        out = apply(params, chunk)
+    float(out.sum())
+    sweeps = 3
     t0 = time.perf_counter()
-    outs = [apply(params, chunk) for chunk in staged]
-    np.asarray(jax.block_until_ready(outs)[-1])[0]
-    float(outs[-1][-1])
-    batched_dt = time.perf_counter() - t0
+    for _ in range(sweeps):
+        outs = [apply(params, chunk) for chunk in staged]
+    float(outs[-1].sum())
+    batched_dt = (time.perf_counter() - t0) / sweeps
     batched = total_snippets / batched_dt
 
     # --- reference-style: batch-1 per part, host fetch per part ---
