@@ -18,6 +18,12 @@ SAME CHIP, and vs_baseline = batched / reference_style.
 Both paths run on device-resident inputs; host<->device staging of the
 synthetic test set is outside the timed region (in deployment, input
 transfer overlaps compute via the prefetch pipeline).
+
+Caveat: both paths pay this environment's device-dispatch latency; the
+reference-style loop is hurt more by it (one round trip per part).  On
+locally-attached hardware the loop's absolute rate would be higher, but the
+architectural gap (per-part sync vs one fused sweep at MXU peak — measured
+~207 TFLOP/s on v5e, chip speed-of-light) is what the ratio demonstrates.
 """
 
 import json
