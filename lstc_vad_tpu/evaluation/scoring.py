@@ -218,28 +218,7 @@ class UCFBinnedScorer:
         self.adaptive_bins = adaptive_bins
 
     def score_video(self, params, feats: np.ndarray, n_clips: int):
-        feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
-                                     dtype=np.float32)
-        bins = min(self.max_clips, n_clips) if self.adaptive_bins \
-            else self.max_clips
-        r = ucf_bin_edges(n_clips, bins)
-        binned = ucf_bin_pool(feats, r)          # [bins, n_patch, d]
-        d = binned.shape[-1]
-        if self.tail_rewindow:
-            parts = ucf_part_plan(bins, self.part_len)
-        else:
-            from .frame_auc import part_bounds
-            parts = part_bounds(bins, self.part_len)
-        by_len = {}
-        for i, (beg, end) in enumerate(parts):
-            by_len.setdefault(end - beg, []).append(i)
-        scores = np.empty(len(parts), dtype=np.float32)
-        for length, part_ids in by_len.items():
-            tokens = np.stack([binned[parts[i][0]:parts[i][1]]
-                               for i in part_ids])
-            tokens = tokens.reshape(len(part_ids),
-                                    length * self.n_patch, d)
-            scores[part_ids] = self.scorer.score_tokens(params, tokens)
+        scores, parts, r = self.score_videos(params, [(feats, n_clips)])[0]
         return scores, parts, r
 
     def _plan(self, feats: np.ndarray, n_clips: int):

@@ -219,22 +219,19 @@ class Trainer:
                 entry = {"epoch": epoch, "auc_test": auc_test,
                          "auc_train": auc_train, **m}
                 result.history.append(entry)
-                if auc_test > result.best_test_auc:
-                    result.best_test_auc = auc_test
-                    result.best_test_epoch = epoch
                 # the reference gates saving on the train-split AUC for SHT
                 # (spatio_transformer_shanghaitech.py:177-191) and on test AUC
                 # for UCF (spatio_transformer_UCF.py:139-149)
                 gate = auc_train if cfg.eval_train_split else auc_test
-                best = (result.best_train_auc if cfg.eval_train_split
-                        else result.best_test_auc)
-                improved = gate > best or (not cfg.eval_train_split
-                                           and auc_test == result.best_test_auc
-                                           and result.best_test_epoch == epoch)
-                if cfg.eval_train_split and auc_train > result.best_train_auc:
+                prev_best = (result.best_train_auc if cfg.eval_train_split
+                             else result.best_test_auc)
+                improved = gate > prev_best
+                if auc_test > result.best_test_auc:
+                    result.best_test_auc = auc_test
+                    result.best_test_epoch = epoch
+                if auc_train > result.best_train_auc:
                     result.best_train_auc = auc_train
                     result.best_train_epoch = epoch
-                    improved = True
                 if improved and gate > cfg.save_threshold:
                     path = os.path.join(
                         cfg.model_save_dir,
