@@ -133,7 +133,7 @@ def cmd_gen_pseudo(args):
                           generate_stn_pseudo_labels, save_pseudo_labels)
     from ..train.driver import Trainer
 
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, eval_only=True)
     trainer = _load_params(args, trainer)
     d = cfg.data
     records = load_train_records(d.dataset, d.train_txt)
@@ -169,7 +169,7 @@ def cmd_evaluate(args):
                                       UCFBinnedScorer, UCFClipBinScorer)
     from ..train.driver import Trainer
 
-    trainer = Trainer(cfg)
+    trainer = Trainer(cfg, eval_only=True)
     trainer = _load_params(args, trainer)
     params = trainer.state.params
     d = cfg.data

@@ -47,15 +47,18 @@ class Trainer:
     """Owns dataset, state, step fn and eval scorers for one config."""
 
     def __init__(self, cfg: TrainConfig, logger=None, sharding=None,
-                 mesh=None):
+                 mesh=None, eval_only: bool = False):
         """``mesh``: a ('data','model') jax Mesh — the train state is laid
         out with the tensor-parallel rules (parallel/mesh.py) and batches
         arrive sharded on the data axis; XLA GSPMD handles the collectives.
-        ``sharding`` alone just shards input batches (pure dp)."""
+        ``sharding`` alone just shards input batches (pure dp).
+        ``eval_only``: skip training-dataset construction and the train-step
+        build (for the evaluate / gen-pseudo CLI paths)."""
         self.cfg = cfg
         self.logger = logger or get_logger()
         self.mesh = mesh
         self.sharding = sharding
+        self.eval_only = eval_only
         self.timer = StepTimer()
         d = cfg.data
 
@@ -65,17 +68,21 @@ class Trainer:
             self.store = PackedStore(d.pack_path, ten_crop=d.ten_crop,
                                      n_patch=d.n_patch, d_model=d.d_model)
         else:
-            eager_keys = [r.key for r in records] if d.eager else None
+            eager_keys = ([r.key for r in records]
+                          if d.eager and not eval_only else None)
             self.store = FeatureStore(d.h5_path, eager_keys=eager_keys,
                                       ten_crop=d.ten_crop, n_patch=d.n_patch,
                                       d_model=d.d_model)
-        pseudo = (load_pseudo_labels(d.pseudo_labels_path)
-                  if d.pseudo_labels_path else None)
-        self.dataset = PairedTrainDataset(
-            records, self.store, part_num=d.part_num, part_len=d.part_len,
-            n_patch=d.n_patch, sample=d.sample, pseudo_labels=pseudo,
-            ten_crop=d.ten_crop, double_short=(d.dataset == "UCF"),
-            seed=d.seed)
+        if eval_only:
+            self.dataset = None
+        else:
+            pseudo = (load_pseudo_labels(d.pseudo_labels_path)
+                      if d.pseudo_labels_path else None)
+            self.dataset = PairedTrainDataset(
+                records, self.store, part_num=d.part_num, part_len=d.part_len,
+                n_patch=d.n_patch, sample=d.sample, pseudo_labels=pseudo,
+                ten_crop=d.ten_crop, double_short=(d.dataset == "UCF"),
+                seed=d.seed)
         self.train_records = records
 
         self.test_videos = load_test_videos(
@@ -90,7 +97,9 @@ class Trainer:
                                         state_shardings(self.state, mesh))
             if self.sharding is None:
                 self.sharding = batch_sharding(mesh)
-        if cfg.model == "stn_bce":
+        if eval_only:
+            self.step_fn = None
+        elif cfg.model == "stn_bce":
             # co-teaching STN round: MIL + weighted BCE on LTN pseudo labels
             self.step_fn = make_stn_bce_train_step(self.encoder, self.head,
                                                    cfg, self.tx)
