@@ -10,15 +10,13 @@ classifier head), so every sharding rule is exercised.
 from __future__ import annotations
 
 import jax
-import jax.numpy as jnp
 import numpy as np
 
 from ..config import (DataConfig, EncoderConfig, HeadConfig, LossConfig,
                       OptimConfig, TrainConfig)
 from ..train.state import create_train_state
 from ..train.steps import make_ltn_train_step
-from .mesh import batch_sharding, factor_devices, make_mesh, shard_params, \
-    state_shardings
+from .mesh import batch_sharding, factor_devices, make_mesh, state_shardings
 
 
 def tiny_ltn_config(n_head: int = 8, batch_size: int = 8) -> TrainConfig:

@@ -13,13 +13,13 @@ identical to the reference per-clip/per-part loops (scorer parity tests).
 
 from __future__ import annotations
 
-from typing import Dict, List, Optional
+from typing import Dict, List
 
 import numpy as np
 
 from ..data.annotations import TrainRecord
 from ..data.feature_store import FeatureStore
-from ..evaluation.scoring import ClipScorer, PartScorer, UCFBinnedScorer
+from ..evaluation.scoring import ClipScorer
 
 
 def _threshold(scores: np.ndarray, threshold: float) -> np.ndarray:

@@ -61,14 +61,17 @@ class StreamingScorer:
                              f"({self.n_patch}, {self.d_model})")
         buf.append(clip)
 
-    def end_stream(self, stream_id: str) -> None:
-        """Finish a stream: a short trailing buffer is re-windowed with the
-        stream's last part_len clips, like the offline tail
-        (Test/evaluation_shanghaitech_ubnormal.py:83-84) — call flush() first
-        if you keep history; here we simply drop leftovers shorter than a
-        part (they were already covered by the previous emitted part only if
-        the caller re-pushes; see flush(pad_tail=True))."""
-        self._buffers.pop(stream_id, None)
+    def end_stream(self, stream_id: str) -> Optional[float]:
+        """Finish a stream.  If clips are left over (fewer than part_len),
+        they are scored as ONE short part at their true length — matching the
+        offline no-re-window tail semantics (the relative-PE index slices to
+        the shorter sequence, models/MultiHeadAttention.py:108).  Returns that
+        final score, or None if the buffer was empty/aligned."""
+        buf = self._buffers.pop(stream_id, None)
+        if not buf:
+            return None
+        tokens = np.concatenate(buf, axis=0)[None]
+        return float(np.asarray(self._apply(self.params, tokens))[0])
 
     def ready(self) -> List[str]:
         return [sid for sid, buf in self._buffers.items()

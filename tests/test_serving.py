@@ -70,3 +70,22 @@ def test_push_shape_validation(model):
     scorer = StreamingScorer(enc, head, params, 3, 4, 16)
     with pytest.raises(ValueError):
         scorer.push("cam0", np.zeros((2, 16), np.float32))
+
+
+def test_end_stream_scores_short_tail(model, rng):
+    enc, head, params = model
+    part_len, n_patch, d = 3, 4, 16
+    scorer = StreamingScorer(enc, head, params, part_len, n_patch, d)
+    video = rng.standard_normal((5, n_patch, d)).astype(np.float32)
+    for clip in video:
+        scorer.push("cam0", clip)
+    scorer.flush()  # consumes first 3 clips
+    tail_score = scorer.end_stream("cam0")
+    assert tail_score is not None
+    # equals a direct short-part forward on the last 2 clips
+    tokens = video[3:].reshape(1, -1, d)
+    h = enc.apply({"params": params["encoder"]}, tokens, deterministic=True)
+    expected = float(head.apply({"params": params["head"]}, h[:, 0, :],
+                                deterministic=True)[0, 1])
+    assert tail_score == pytest.approx(expected, abs=1e-6)
+    assert scorer.end_stream("cam0") is None
