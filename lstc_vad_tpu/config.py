@@ -93,6 +93,8 @@ class DataConfig:
     part_len: int = 7
     segment_len: int = 16           # frames per clip
     sample: str = "uniform"         # "uniform" | "random" jitter mode
+    transfer_dtype: str = "float32" # "bfloat16" halves host->device batch
+                                    # bytes (features only; labels stay f32)
     ten_crop: bool = False
     eager: bool = True              # load all features to RAM up-front
     batch_size: int = 40

@@ -59,13 +59,21 @@ class Prefetcher:
     _SENTINEL = object()
 
     def __init__(self, iterable, depth: int = 2, sharding=None,
-                 to_device: bool = True):
+                 to_device: bool = True, feature_dtype=None):
+        """``feature_dtype``: cast batch elements 0 and 2 (the feature
+        tensors) before transfer — e.g. ml_dtypes.bfloat16 halves H2D bytes;
+        labels keep their dtype."""
         self.iterable = iterable
         self.depth = depth
         self.sharding = sharding
         self.to_device = to_device
+        self.feature_dtype = feature_dtype
 
     def _put(self, batch):
+        if self.feature_dtype is not None and isinstance(batch, tuple):
+            batch = tuple(
+                np.asarray(a).astype(self.feature_dtype)
+                if i in (0, 2) else a for i, a in enumerate(batch))
         if not self.to_device:
             return batch
         if self.sharding is not None:

@@ -170,9 +170,15 @@ class Trainer:
 
     def train_epoch(self) -> Dict[str, float]:
         d = self.cfg.data
+        feature_dtype = None
+        if d.transfer_dtype != "float32":
+            import ml_dtypes
+
+            feature_dtype = np.dtype(getattr(ml_dtypes, d.transfer_dtype,
+                                             d.transfer_dtype))
         batches = Prefetcher(
             BatchIterator(self.dataset, d.batch_size, drop_last=True),
-            sharding=self.sharding)
+            sharding=self.sharding, feature_dtype=feature_dtype)
         snippets_per_batch = 2 * d.batch_size * d.part_num * d.part_len
         metrics = {}
         with StepTimer() as timer_total:

@@ -143,3 +143,16 @@ def test_stn_tencrop_training(tmp_path):
     trainer = Trainer(cfg)
     result = trainer.fit(epochs=1)
     assert result.steps == 1
+
+
+def test_bfloat16_transfer_dtype(tmp_path):
+    from lstc_vad_tpu.config import replace
+    cfg32 = _cfg(tmp_path / "a", "stn")
+    cfg16 = replace(_cfg(tmp_path / "b", "stn"),
+                    **{"data.transfer_dtype": "bfloat16"})
+    r32 = Trainer(cfg32).fit(epochs=1)
+    r16 = Trainer(cfg16).fit(epochs=1)
+    assert np.isfinite(r16.history[0]["loss"])
+    # bf16-rounded inputs: same loss to ~2 decimal places
+    assert r16.history[0]["loss"] == pytest.approx(r32.history[0]["loss"],
+                                                   abs=0.05)
