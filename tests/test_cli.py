@@ -54,3 +54,49 @@ def test_cli_set_overrides(tmp_path):
     assert _coerce(cfg, "encoder.n_layers", "2") == 2
     assert _coerce(cfg, "optim.clip_grad", "true") is True
     assert _coerce(cfg, "data.sample", "random") == "random"
+
+
+def test_cli_evaluate_with_torch_ckpt(tmp_path, capsys):
+    import torch
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+
+    # synthesize reference-format state_dicts at the small dims
+    rng = np.random.default_rng(3)
+    t = lambda *s: torch.from_numpy(  # noqa: E731
+        (0.05 * rng.standard_normal(s)).astype(np.float32))
+    sd_enc = {}
+    table = (2 * 3 - 1) * (2 * 4 - 1) ** 2
+    for i in range(1):
+        p = f"layer_stack.{i}"
+        sd_enc |= {
+            f"{p}.slf_attn.w_qs.weight": t(16, 16),
+            f"{p}.slf_attn.w_ks.weight": t(16, 16),
+            f"{p}.slf_attn.w_vs.weight": t(16, 16),
+            f"{p}.slf_attn.fc.weight": t(16, 16),
+            f"{p}.slf_attn.layer_norm.weight": t(16).abs() + 1,
+            f"{p}.slf_attn.layer_norm.bias": t(16),
+            f"{p}.slf_attn.relative_position_bias_table": t(table, 2),
+            f"{p}.pos_ffn.w_1.weight": t(32, 16),
+            f"{p}.pos_ffn.w_1.bias": t(32),
+            f"{p}.pos_ffn.w_2.weight": t(16, 32),
+            f"{p}.pos_ffn.w_2.bias": t(16),
+            f"{p}.pos_ffn.layer_norm.weight": t(16).abs() + 1,
+            f"{p}.pos_ffn.layer_norm.bias": t(16),
+        }
+    sd_head = {"classifier.0.weight": t(8, 16), "classifier.0.bias": t(8),
+               "classifier.3.weight": t(32, 8), "classifier.3.bias": t(32),
+               "classifier.5.weight": t(2, 32), "classifier.5.bias": t(2)}
+    enc_path = str(tmp_path / "enc.ckpt")
+    head_path = str(tmp_path / "head.ckpt")
+    torch.save(sd_enc, enc_path)
+    torch.save(sd_head, head_path)
+
+    rc = main(["evaluate", "--preset", "sht_ltn", "--torch-ckpt",
+               "--encoder-ckpt", enc_path, "--head-ckpt", head_path] + common)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "auc = " in out
+    auc = float(out.strip().split("auc = ")[-1])
+    assert 0.0 <= auc <= 1.0
