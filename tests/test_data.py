@@ -242,3 +242,31 @@ def test_prefetcher_propagates_errors():
 
     with pytest.raises(RuntimeError, match="boom"):
         list(Prefetcher(boom(), to_device=False))
+
+
+def test_part_slices_fuzz_vs_reference_bounds(rng):
+    """part_slices reproduces the reference chunk loop for random shapes."""
+    from lstc_vad_tpu.evaluation.frame_auc import part_slices
+
+    for _ in range(200):
+        n_clips = int(rng.integers(1, 60))
+        part_len = int(rng.integers(1, 9))
+        idx_list, counts = part_slices(n_clips, part_len, tail_rewindow=True)
+        # reference loop (Test/evaluation_shanghaitech_ubnormal.py:74-86)
+        n_part = n_clips // part_len
+        if n_part * part_len < n_clips:
+            n_part += 1
+        assert len(idx_list) == n_part
+        clips = np.arange(n_clips)
+        total = 0
+        for pi, (idx, cnt) in enumerate(zip(idx_list, counts)):
+            beg = pi * part_len
+            end = n_clips if pi == n_part - 1 else (pi + 1) * part_len
+            assert cnt == end - beg
+            if end - beg < part_len:
+                expected = clips[end - part_len:end]  # python slice semantics
+            else:
+                expected = clips[beg:end]
+            np.testing.assert_array_equal(idx, expected)
+            total += cnt
+        assert total == n_clips
