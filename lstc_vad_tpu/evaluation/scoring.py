@@ -103,15 +103,28 @@ class ClipScorer:
     def score_videos(self, params, feats_list: List[np.ndarray]
                      ) -> List[np.ndarray]:
         """All clips of all videos in large batches (one device call per
-        bucket instead of per video)."""
-        tokens = [np.ascontiguousarray(f[:, :self.n_patch, :],
-                                       dtype=np.float32) for f in feats_list]
-        lengths = [t.shape[0] for t in tokens]
-        big = np.concatenate(tokens, axis=0)
+        chunk instead of per video).  Streams chunk-sized buffers — never
+        materializes the whole test set's clips at once."""
         chunk = BUCKETS[-2]
-        flat = np.concatenate([
-            self.scorer.score_tokens(params, big[i:i + chunk])
-            for i in range(0, len(big), chunk)])
+        lengths = [f.shape[0] for f in feats_list]
+        flat_parts, buf, filled = [], None, 0
+        for f in feats_list:
+            t = np.ascontiguousarray(f[:, :self.n_patch, :], dtype=np.float32)
+            pos = 0
+            while pos < len(t):
+                if buf is None:
+                    buf = np.empty((chunk,) + t.shape[1:], np.float32)
+                    filled = 0
+                take = min(chunk - filled, len(t) - pos)
+                buf[filled:filled + take] = t[pos:pos + take]
+                filled += take
+                pos += take
+                if filled == chunk:
+                    flat_parts.append(self.scorer.score_tokens(params, buf))
+                    buf, filled = None, 0
+        if buf is not None and filled:
+            flat_parts.append(self.scorer.score_tokens(params, buf[:filled]))
+        flat = np.concatenate(flat_parts) if flat_parts else np.empty(0)
         out, cursor = [], 0
         for n in lengths:
             out.append(flat[cursor:cursor + n])
@@ -151,10 +164,26 @@ class PartScorer:
     def score_videos(self, params, feats_list: List[np.ndarray]
                      ) -> List[Tuple[np.ndarray, np.ndarray]]:
         """Score MANY videos in large cross-video part batches: one H2D
-        transfer and one device call per bucket instead of per video.
-        Returns [(part_scores, counts)] aligned with ``feats_list``."""
-        all_tokens, spans, all_counts, leftovers = [], [], [], []
-        cursor = 0
+        transfer and one device call per chunk instead of per video; parts
+        stream through a chunk-sized buffer (the whole test set's tokens are
+        never materialized at once).  Returns [(part_scores, counts)]
+        aligned with ``feats_list``."""
+        chunk = BUCKETS[-2]
+        out: List[np.ndarray] = []
+        all_counts: List[np.ndarray] = []
+        shorts: List[Tuple[int, int, np.ndarray]] = []
+        buf = None
+        pending: List[Tuple[int, int]] = []
+
+        def flush():
+            nonlocal buf
+            if pending:
+                scores = self.scorer.score_tokens(params, buf[:len(pending)])
+                for (v, i), s in zip(pending, scores):
+                    out[v][i] = s
+            buf = None
+            pending.clear()
+
         for v, feats in enumerate(feats_list):
             feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
                                          dtype=np.float32)
@@ -162,31 +191,22 @@ class PartScorer:
             idx_list, counts = part_slices(n_clips, self.part_len,
                                            self.tail_rewindow)
             all_counts.append(counts)
-            full = [i for i in range(len(idx_list))
-                    if len(idx_list[i]) == self.part_len]
-            short = [i for i in range(len(idx_list))
-                     if len(idx_list[i]) != self.part_len]
-            tok = np.stack([feats[idx_list[i]] for i in full]) if full else \
-                np.zeros((0, self.part_len, n_patch, d), np.float32)
-            tok = tok.reshape(len(full), self.part_len * n_patch, d)
-            all_tokens.append(tok)
-            spans.append((v, cursor, cursor + len(full), full))
-            cursor += len(full)
-            leftovers.append([(i, feats[idx_list[i]]) for i in short])
-
-        out = [np.empty(len(c), dtype=np.float32) for c in all_counts]
-        if cursor:
-            big = np.concatenate(all_tokens, axis=0)
-            chunk = BUCKETS[-2]  # cap transfer/program size
-            flat = np.concatenate([
-                self.scorer.score_tokens(params, big[i:i + chunk])
-                for i in range(0, len(big), chunk)])
-            for v, beg, end, full in spans:
-                out[v][full] = flat[beg:end]
-        for v, shorts in enumerate(leftovers):
-            for i, gathered in shorts:
-                tokens = gathered.reshape(1, -1, gathered.shape[-1])
-                out[v][i] = self.scorer.score_tokens(params, tokens)[0]
+            out.append(np.empty(len(idx_list), dtype=np.float32))
+            for i, idx in enumerate(idx_list):
+                if len(idx) != self.part_len:
+                    shorts.append((v, i, feats[idx]))
+                    continue
+                if buf is None:
+                    buf = np.empty((chunk, self.part_len * n_patch, d),
+                                   np.float32)
+                buf[len(pending)] = feats[idx].reshape(-1, d)
+                pending.append((v, i))
+                if len(pending) == chunk:
+                    flush()
+        flush()
+        for v, i, gathered in shorts:
+            tokens = gathered.reshape(1, -1, gathered.shape[-1])
+            out[v][i] = self.scorer.score_tokens(params, tokens)[0]
         return list(zip(out, all_counts))
 
 
