@@ -22,3 +22,33 @@ The framework re-implements, TPU-first, everything the PyTorch reference
 """
 
 __version__ = "0.1.0"
+
+from .config import (  # noqa: E402,F401
+    DataConfig,
+    EncoderConfig,
+    HeadConfig,
+    LossConfig,
+    OptimConfig,
+    TrainConfig,
+    preset,
+    replace,
+)
+
+
+def __getattr__(name):
+    """Lazy heavyweight imports so `import lstc_vad_tpu` stays instant."""
+    lazy = {
+        "Encoder": ("lstc_vad_tpu.models", "Encoder"),
+        "Classifier": ("lstc_vad_tpu.models", "Classifier"),
+        "Regressor": ("lstc_vad_tpu.models", "Regressor"),
+        "make_head": ("lstc_vad_tpu.models", "make_head"),
+        "Trainer": ("lstc_vad_tpu.train.driver", "Trainer"),
+        "CoTeachingDriver": ("lstc_vad_tpu.pseudo", "CoTeachingDriver"),
+        "StreamingScorer": ("lstc_vad_tpu.serving", "StreamingScorer"),
+    }
+    if name in lazy:
+        import importlib
+
+        module, attr = lazy[name]
+        return getattr(importlib.import_module(module), attr)
+    raise AttributeError(f"module 'lstc_vad_tpu' has no attribute {name!r}")
