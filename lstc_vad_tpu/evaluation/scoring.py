@@ -40,11 +40,17 @@ class VideoScorer:
     on the B axis.  ``head_select``: 'regressor' -> squeeze(-1),
     'classifier' -> probs[:, 1] (abnormal class)."""
 
-    def __init__(self, encoder, head, kind: str, l2_normalize: bool = False):
+    def __init__(self, encoder, head, kind: str, l2_normalize: bool = False,
+                 sharding=None):
+        """``sharding``: optional NamedSharding for the token batch (e.g.
+        parallel.mesh.batch_sharding(mesh)) — evaluation then runs
+        data-parallel across the mesh; params may be tp-sharded, GSPMD
+        inserts the collectives."""
         self.encoder = encoder
         self.head = head
         self.kind = kind
         self.l2_normalize = l2_normalize
+        self.sharding = sharding
 
     @functools.cached_property
     def _apply(self):
@@ -82,6 +88,8 @@ class VideoScorer:
         if bucket != n:
             pad = np.zeros((bucket - n,) + tokens.shape[1:], tokens.dtype)
             tokens = np.concatenate([tokens, pad], axis=0)
+        if self.sharding is not None:
+            tokens = jax.device_put(tokens, self.sharding)
         scores = self._apply(params, tokens)
         return np.asarray(scores)[:n]
 
@@ -91,8 +99,9 @@ class ClipScorer:
     (cf. Train/spatio_transformer_shanghaitech.py:133-137 per-video call,
     which was already whole-video — kept batched + bucket-padded here)."""
 
-    def __init__(self, encoder, head, n_patch: int):
-        self.scorer = VideoScorer(encoder, head, "regressor")
+    def __init__(self, encoder, head, n_patch: int, sharding=None):
+        self.scorer = VideoScorer(encoder, head, "regressor",
+                                  sharding=sharding)
         self.n_patch = n_patch
 
     def score_video(self, params, feats: np.ndarray) -> np.ndarray:
@@ -137,8 +146,9 @@ class PartScorer:
     one batch.  Returns (part_scores [n_parts], counts [n_parts])."""
 
     def __init__(self, encoder, head, part_len: int, n_patch: int,
-                 tail_rewindow: bool = True):
-        self.scorer = VideoScorer(encoder, head, "classifier")
+                 tail_rewindow: bool = True, sharding=None):
+        self.scorer = VideoScorer(encoder, head, "classifier",
+                                  sharding=sharding)
         self.part_len = part_len
         self.n_patch = n_patch
         self.tail_rewindow = tail_rewindow
@@ -220,7 +230,8 @@ class UCFBinnedScorer:
 
     def __init__(self, encoder, head, part_len: int, n_patch: int,
                  max_clips: int = 32, l2_normalize: bool = True,
-                 tail_rewindow: bool = True, adaptive_bins: bool = False):
+                 tail_rewindow: bool = True, adaptive_bins: bool = False,
+                 sharding=None):
         """Three reference variants map onto the flags:
         - final eval (Test/evaluation_UCF.py): l2_normalize=True,
           tail_rewindow=True, adaptive_bins=False, n_clips from n_frames//16;
@@ -230,7 +241,8 @@ class UCFBinnedScorer:
         - pseudo-label gen (Train/pseudo_labels_generator_temporal.py:72-107):
           l2_normalize=False, tail_rewindow=False, adaptive_bins=False."""
         self.scorer = VideoScorer(encoder, head, "classifier",
-                                  l2_normalize=l2_normalize)
+                                  l2_normalize=l2_normalize,
+                                  sharding=sharding)
         self.part_len = part_len
         self.n_patch = n_patch
         self.max_clips = max_clips
@@ -282,8 +294,10 @@ class UCFClipBinScorer:
 
     Returns (scores [n_non_empty], bin_ids [n_non_empty], r)."""
 
-    def __init__(self, encoder, head, n_patch: int, max_clips: int = 32):
-        self.scorer = VideoScorer(encoder, head, "regressor")
+    def __init__(self, encoder, head, n_patch: int, max_clips: int = 32,
+                 sharding=None):
+        self.scorer = VideoScorer(encoder, head, "regressor",
+                                  sharding=sharding)
         self.n_patch = n_patch
         self.max_clips = max_clips
 

@@ -113,22 +113,26 @@ class Trainer:
 
     def _build_scorers(self):
         cfg, d = self.cfg, self.cfg.data
+        sh = self.sharding  # eval batches data-sharded when a mesh is set
         if cfg.model.startswith("stn"):
             if d.dataset == "UCF":
                 self.scorer = UCFClipBinScorer(self.encoder, self.head,
-                                               d.n_patch, cfg.max_clips)
+                                               d.n_patch, cfg.max_clips,
+                                               sharding=sh)
             else:
-                self.scorer = ClipScorer(self.encoder, self.head, d.n_patch)
+                self.scorer = ClipScorer(self.encoder, self.head, d.n_patch,
+                                         sharding=sh)
         else:
             if d.dataset == "UCF":
                 # in-training eval flags (Train/temporal_transformer_UCF.py)
                 self.scorer = UCFBinnedScorer(
                     self.encoder, self.head, d.part_len, d.n_patch,
                     max_clips=cfg.max_clips, l2_normalize=False,
-                    tail_rewindow=False, adaptive_bins=True)
+                    tail_rewindow=False, adaptive_bins=True, sharding=sh)
             else:
                 self.scorer = PartScorer(self.encoder, self.head, d.part_len,
-                                         d.n_patch, tail_rewindow=True)
+                                         d.n_patch, tail_rewindow=True,
+                                         sharding=sh)
 
     # ---------------------------------------------------------------- eval
 

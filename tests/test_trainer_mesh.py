@@ -30,3 +30,14 @@ def test_trainer_on_mesh_matches_single_device(tmp_path):
                     jax.tree.leaves(sharded.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=2e-4, atol=1e-5)
+
+
+def test_mesh_sharded_eval_matches(tmp_path):
+    """Evaluation with data-sharded batches over the mesh gives the same AUC."""
+    mesh = make_mesh(data=4, model=2)
+    plain = Trainer(e2e._cfg(tmp_path / "p", "ltn"))
+    sharded = Trainer(e2e._cfg(tmp_path / "m", "ltn"), mesh=mesh)
+    # same params on both (fresh inits are identical: same seed)
+    a = plain.evaluate("test")
+    b = sharded.evaluate("test")
+    assert b == pytest.approx(a, abs=1e-6)
