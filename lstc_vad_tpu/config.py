@@ -138,6 +138,8 @@ class TrainConfig:
     loss: LossConfig = field(default_factory=LossConfig)
     epochs: int = 18201
     inter_epoch: int = 10           # eval cadence (epochs)
+    log_every_step: int = 0         # per-iteration loss lines (0 = off;
+                                    # forces a device sync per log)
     save_threshold: float = 0.9685
     seed: int = 0
     model_save_dir: str = "checkpoints"

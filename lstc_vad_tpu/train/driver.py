@@ -185,11 +185,19 @@ class Trainer:
             sharding=self.sharding, feature_dtype=feature_dtype)
         snippets_per_batch = 2 * d.batch_size * d.part_num * d.part_len
         metrics = {}
+        log_every = self.cfg.log_every_step
         with StepTimer() as timer_total:
             n = 0
             for batch in batches:
                 self.state, metrics = self.step_fn(self.state, *batch)
                 n += 1
+                if log_every and n % log_every == 0:
+                    # per-iteration loss lines like the reference
+                    # (spatio_transformer_shanghaitech.py:111-112); forces a
+                    # device sync, so off by default
+                    self.logger.info(
+                        "[iter %d] %s", int(self.state.step),
+                        {k: round(float(v), 4) for k, v in metrics.items()})
             if metrics:
                 jax.block_until_ready(metrics)
         self.dataset.shuffle_keys()
