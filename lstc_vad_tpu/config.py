@@ -219,6 +219,9 @@ def ucf_stn() -> TrainConfig:
                         eager=False),
         save_threshold=0.83,
         inter_epoch=5,
+        # the reference UCF scripts never evaluate the train split and gate
+        # saving on TEST AUC (Train/spatio_transformer_UCF.py:139-149)
+        eval_train_split=False,
     )
 
 
@@ -238,6 +241,7 @@ def ucf_ltn() -> TrainConfig:
                         eager=False),
         save_threshold=0.825,
         inter_epoch=5,
+        eval_train_split=False,
     )
 
 

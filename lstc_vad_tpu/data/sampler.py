@@ -48,7 +48,10 @@ def sample_part_indices(feat_len: int, part_num: int, part_len: int,
 
 def maybe_double_short(feat: np.ndarray, part_len: int) -> np.ndarray:
     """UCF rule: videos with <= part_len clips are doubled clip-wise
-    (utils/load_dataset.py:417-418)."""
-    if feat.shape[0] <= part_len:
+    (utils/load_dataset.py:417-418).  The reference doubles ONCE and then
+    indexes out of bounds if the video is still too short (e.g. 3 clips with
+    part_len 7 -> IndexError mid-epoch); we keep doubling until the window
+    fits — strictly a robustness improvement over a reference crash path."""
+    while 0 < feat.shape[0] <= part_len:
         feat = np.repeat(feat, 2, axis=0)
     return feat

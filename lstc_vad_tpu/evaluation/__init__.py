@@ -3,5 +3,5 @@ from .frame_auc import (  # noqa: F401
     VideoScores,
     expand_scores_to_frames,
     part_bounds,
-    part_index_matrix,
+    part_slices,
 )

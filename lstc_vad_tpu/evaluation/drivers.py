@@ -13,7 +13,7 @@ from typing import Iterable, List, Optional, Tuple
 
 import numpy as np
 
-from .frame_auc import ucf_expand
+from .frame_auc import expand_scores_to_frames, ucf_expand
 from .metrics import roc_auc
 from .scoring import (ClipScorer, PartScorer, UCFBinnedScorer,
                       UCFClipBinScorer)
@@ -52,7 +52,7 @@ def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
     results = scorer.score_videos(params, [feats for feats, _ in items])
     all_scores, all_labels = [], []
     for (part_scores, counts), (_, anno) in zip(results, items):
-        s = np.repeat(part_scores, counts * segment_len)
+        s = expand_scores_to_frames(part_scores, counts, segment_len)
         lab = np.zeros(len(s)) if anno is None else np.asarray(
             anno[:len(s)], dtype=np.float64)
         all_scores.append(s[:len(lab)])

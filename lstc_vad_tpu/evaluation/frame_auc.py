@@ -84,65 +84,12 @@ def part_slices(n_clips: int, part_len: int,
     return idx_list, np.asarray(counts, dtype=np.int32)
 
 
-def part_index_matrix(n_clips: int, part_len: int,
-                      tail_rewindow: bool = True) -> Tuple[np.ndarray, np.ndarray, np.ndarray]:
-    """Clip gather indices per part.
-
-    Returns:
-      idx:    [n_parts, part_len] int32 clip indices to gather.
-      counts: [n_parts] int32 — (end-beg) per part, for score expansion.
-      valid:  [n_parts, part_len] float32 — 1 where the token row is a real
-              clip of this part's range (used only when tail_rewindow=False to
-              mask padded positions; with re-windowing every row is real).
-    """
-    bounds = part_bounds(n_clips, part_len)
-    idx = np.zeros((len(bounds), part_len), dtype=np.int32)
-    counts = np.zeros(len(bounds), dtype=np.int32)
-    valid = np.ones((len(bounds), part_len), dtype=np.float32)
-    for i, (beg, end) in enumerate(bounds):
-        counts[i] = end - beg
-        if end - beg < part_len:
-            if tail_rewindow and n_clips >= part_len:
-                idx[i] = np.arange(end - part_len, end)
-            else:
-                # short video / no re-window: pad by clamping to the last clip,
-                # mark padded rows invalid.
-                row = np.arange(beg, beg + part_len)
-                valid[i] = (row < end).astype(np.float32)
-                idx[i] = np.minimum(row, n_clips - 1)
-        else:
-            idx[i] = np.arange(beg, end)
-    return idx, counts, valid
-
-
 def expand_scores_to_frames(part_scores: np.ndarray, counts: np.ndarray,
                             segment_len: int) -> np.ndarray:
     """Each part score repeats count*segment_len times
     (Test/evaluation_shanghaitech_ubnormal.py:92)."""
     return np.repeat(np.asarray(part_scores).reshape(-1),
                      np.asarray(counts).reshape(-1) * segment_len)
-
-
-def align_labels(anno: np.ndarray, counts: np.ndarray,
-                 segment_len: int) -> np.ndarray:
-    """Frame labels consumed sequentially: total scored frames =
-    sum(counts)*segment_len, sliced from the annotation head
-    (Test/evaluation_shanghaitech_ubnormal.py:93-94)."""
-    total = int(np.sum(counts)) * segment_len
-    return np.asarray(anno[:total], dtype=np.float64)
-
-
-# ---------------------------------------------------------------------------
-# Per-clip (STN) evaluation
-# ---------------------------------------------------------------------------
-
-def clip_scores_to_frames(clip_scores: np.ndarray, anno: np.ndarray,
-                          segment_len: int) -> VideoScores:
-    """STN eval: one score per clip, expanded x segment_len; labels truncated
-    to the scored length (Train/spatio_transformer_shanghaitech.py:139-143)."""
-    scores = np.repeat(np.asarray(clip_scores).reshape(-1), segment_len)
-    labels = np.asarray(anno[:len(scores)], dtype=np.float64)
-    return VideoScores(scores=scores, labels=labels)
 
 
 # ---------------------------------------------------------------------------

@@ -74,11 +74,32 @@ def ltn_mil_loss(part_scores: jnp.ndarray, part_num: int,
     ``part_scores``: [2B*part_num] flat, normal half first.  Video score =
     max over part_num — no part_len mean
     (Train/temporal_transformer_shanghaitech.py:26).
+
+    REFERENCE QUIRK, reproduced on purpose: the sparsity term slices the
+    FLAT score vector at index batch_size (``abn_pred = y_pred[batch_size:]``,
+    temporal_transformer_shanghaitech.py:33, where y_pred is [2B*P]) — so it
+    averages most of the NORMAL videos' part scores too, not just the
+    abnormal half.  We reproduce that exact objective (see PARITY.md).
     """
     scores = part_scores.reshape(-1, part_num)
     video = jnp.max(scores, axis=-1)
     b = scores.shape[0] // 2
-    return mil_ranking_loss(video, part_scores[b * part_num:], lambda_1)
+    flat = part_scores.reshape(-1)
+    return mil_ranking_loss(video, flat[b:], lambda_1)
+
+
+def coteach_stn_mil_loss(snippet_scores: jnp.ndarray, part_num: int,
+                         part_len: int, lambda_1: float
+                         ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
+    """Co-teaching round's STN MIL (Train/spatio_transformer_MIL_CE.py:32-44):
+    same video score as stn_mil_loss, but the sparsity term has the same
+    flat-slice quirk as the LTN (abn_pred = y_pred[batch_size:] on the flat
+    [2B*pn*pl, 1] tensor, :40-41)."""
+    b2 = snippet_scores.shape[0]
+    scores = snippet_scores.reshape(b2, part_num, part_len)
+    video = jnp.max(jnp.mean(scores, axis=-1), axis=-1)
+    flat = snippet_scores.reshape(-1)
+    return mil_ranking_loss(video, flat[b2 // 2:], lambda_1)
 
 
 def soft_cross_entropy_on_probs(probs: jnp.ndarray,

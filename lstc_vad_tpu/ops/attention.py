@@ -29,14 +29,6 @@ import jax.numpy as jnp
 MASK_FILL = -1e9
 
 
-def _pallas_available() -> bool:
-    try:
-        from . import pallas_attention  # noqa: F401
-        return True
-    except ImportError:
-        return False
-
-
 def _xla_sdpa(q, k, v, bias, mask, temperature, dropout_rate, dropout_rng,
               return_probs=False):
     attn = jnp.einsum("bhld,bhmd->bhlm", q / temperature, k,

@@ -23,18 +23,30 @@ from .mesh import factor_devices
 def initialize_multihost(coordinator_address: Optional[str] = None,
                          num_processes: Optional[int] = None,
                          process_id: Optional[int] = None):
-    """No-op when already initialized or single-process."""
-    if jax.process_count() > 1:
-        return  # already initialized
+    """Call BEFORE any other jax API (touching the backend first makes
+    jax.distributed.initialize fail).  With explicit arguments, failures
+    raise; with auto-detection, a single-process environment falls back to
+    local execution with a warning — never silently on a real pod.
+    """
+    import warnings
+
+    explicit = coordinator_address is not None
     kwargs = {}
-    if coordinator_address is not None:
+    if explicit:
         kwargs = dict(coordinator_address=coordinator_address,
                       num_processes=num_processes, process_id=process_id)
     try:
         jax.distributed.initialize(**kwargs)
-    except (ValueError, RuntimeError):
-        # single-process / env not set: stay local
-        pass
+    except RuntimeError as e:
+        if "already" in str(e).lower():
+            return  # initialized earlier — fine
+        raise
+    except ValueError as e:
+        if explicit:
+            raise
+        # auto-detection found no cluster environment: run single-process
+        warnings.warn(f"jax.distributed auto-detection failed ({e}); "
+                      f"running single-process")
 
 
 def make_global_mesh(n_head: int = 8, max_model: int = 8) -> Mesh:

@@ -139,14 +139,25 @@ class Trainer:
     def _test_items(self):
         d = self.cfg.data
         if d.dataset == "UCF":
-            # in-training eval uses the feature-array clip count
-            return [(v.feat, v.anno, v.feat.shape[0]) for v in self.test_videos]
+            if self.cfg.model.startswith("stn"):
+                # STN in-training eval bins from the annotation frame count
+                # (Train/spatio_transformer_UCF.py:121-122)
+                return [(v.feat, v.anno, v.n_frames // d.segment_len)
+                        for v in self.test_videos]
+            # LTN in-training eval uses the feature-array clip count
+            # (Train/temporal_transformer_UCF.py:143-145)
+            return [(v.feat, v.anno, v.feat.shape[0])
+                    for v in self.test_videos]
         return [(v.feat, v.anno) for v in self.test_videos]
 
     def _train_items(self):
         """Train-split eval: abnormal videos use the frame mask GT
-        (Train/spatio_transformer_shanghaitech.py:148-168)."""
+        (Train/spatio_transformer_shanghaitech.py:148-168).  SHT/UBnormal
+        only — the reference UCF scripts never evaluate the train split."""
         d = self.cfg.data
+        if d.dataset == "UCF":
+            raise ValueError("UCF has no train-split evaluation "
+                             "(set eval_train_split=False)")
         items = []
         for r in self.train_records:
             feat = self.store.get(r.key)

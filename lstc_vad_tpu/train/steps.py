@@ -19,7 +19,8 @@ import jax.numpy as jnp
 import optax
 
 from ..config import TrainConfig
-from ..objectives.losses import (ltn_mil_loss, soft_cross_entropy_on_probs,
+from ..objectives.losses import (coteach_stn_mil_loss, ltn_mil_loss,
+                                 soft_cross_entropy_on_probs,
                                  soft_labels_from_pseudo, stn_mil_loss,
                                  weighted_bce)
 
@@ -81,7 +82,8 @@ def make_stn_bce_train_step(encoder, head, cfg: TrainConfig, tx):
         scores = head.apply({"params": params["head"]}, h[:, 0, :],
                             deterministic=False, rngs={"dropout": r2})
         scores = scores.reshape(b2, pn * pl)
-        mil, err, spar = stn_mil_loss(scores, pn, pl, loss_cfg.lambda_1)
+        mil, err, spar = coteach_stn_mil_loss(scores, pn, pl,
+                                              loss_cfg.lambda_1)
         part_mean = jnp.mean(scores.reshape(b2, pn, pl), axis=-1)
         bce = weighted_bce(part_mean, clip_labs, loss_cfg.lambda_normal,
                            loss_cfg.lambda_abnormal)

@@ -44,9 +44,27 @@ def test_ltn_mil_loss(rng, bs, part_num):
     flat = rng.random(2 * bs * part_num).astype(np.float32)
     loss, err, spar = L.ltn_mil_loss(flat, part_num, lambda_1=0.01)
 
+    # literal reference formula (temporal_transformer_shanghaitech.py:25-36):
+    # note abn_pred slices the FLAT vector at batch_size — a reference quirk
     t = torch.from_numpy(flat)
     video = torch.max(t.view(2 * bs, part_num), -1)[0]
-    t_loss, t_err, t_spar = torch_mil_hinge(video, 0.01, t[bs * part_num:])
+    t_loss, t_err, t_spar = torch_mil_hinge(video, 0.01, t[bs:])
+    assert float(loss) == pytest.approx(float(t_loss), rel=1e-6)
+    assert float(err) == pytest.approx(float(t_err), rel=1e-6)
+    assert float(spar) == pytest.approx(float(t_spar), rel=1e-6)
+
+
+@pytest.mark.parametrize("bs,part_num,part_len", [(4, 5, 3), (6, 16, 7)])
+def test_coteach_stn_mil_loss(rng, bs, part_num, part_len):
+    scores = rng.random((2 * bs, part_num * part_len)).astype(np.float32)
+    loss, err, spar = L.coteach_stn_mil_loss(scores, part_num, part_len, 0.01)
+
+    # literal MIL_CE formula (spatio_transformer_MIL_CE.py:32-44): y_pred is
+    # the flat [2B*pn*pl, 1] regressor output; abn_pred = y_pred[batch_size:]
+    t = torch.from_numpy(scores.reshape(-1, 1))
+    video = torch.max(torch.mean(
+        t.view(2 * bs, part_num, part_len), -1), -1)[0]
+    t_loss, t_err, t_spar = torch_mil_hinge(video, 0.01, t[bs:])
     assert float(loss) == pytest.approx(float(t_loss), rel=1e-6)
     assert float(err) == pytest.approx(float(t_err), rel=1e-6)
     assert float(spar) == pytest.approx(float(t_spar), rel=1e-6)
