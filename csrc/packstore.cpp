@@ -148,11 +148,19 @@ int ps_gather(void* handle, const char* key, const int64_t* indices,
 
 // Whole training batch in one call: `n_items` (key, index-window) pairs,
 // each gathering `idx_per_item` clips into out[item].  `n_threads` <= 0
-// picks the hardware concurrency.
+// picks the hardware concurrency.  Every video's d_model must equal the
+// caller's `d_model` (output slots are sized by it) — mismatches return -4
+// instead of overrunning the buffer.
 int ps_gather_pair_batch(void* handle, const char** keys, int32_t n_items,
                          const int64_t* indices, int32_t idx_per_item,
                          int32_t n_patch_out, int32_t d_model, float* out,
                          int32_t n_threads) {
+  auto* ps = static_cast<PackStore*>(handle);
+  for (int32_t i = 0; i < n_items; ++i) {
+    auto it = ps->index.find(keys[i]);
+    if (it == ps->index.end()) return -1;
+    if (static_cast<int32_t>(it->second.d_model) != d_model) return -4;
+  }
   const size_t item_stride =
       static_cast<size_t>(idx_per_item) * n_patch_out * d_model;
   if (n_threads <= 0) {

@@ -56,6 +56,8 @@ def _apply_common(cfg: TrainConfig, args) -> TrainConfig:
         "batch_size": "data.batch_size", "seed": "data.seed",
         "epochs": "epochs", "save_dir": "model_save_dir",
     }
+    if getattr(args, "seed", None) is not None:
+        kw["seed"] = args.seed  # param-init + dropout PRNG, like set_seeds
     for arg_name, cfg_path in mapping.items():
         val = getattr(args, arg_name, None)
         if val is not None:
@@ -85,20 +87,31 @@ def _add_common(p):
 
 
 def _load_params(args, trainer):
-    """Optionally load torch or Orbax checkpoints over the fresh params."""
+    """Load checkpoints over the fresh params.
+
+    - torch state_dicts: --torch-ckpt with BOTH --encoder-ckpt/--head-ckpt
+    - Orbax: --ckpt DIR (one directory holds the full {'encoder','head'} tree)
+    """
     params = trainer.state.params
-    if args.encoder_ckpt or args.head_ckpt:
-        if args.torch_ckpt:
-            from ..ckpt.torch_import import import_torch_checkpoint
-            params, report = import_torch_checkpoint(
-                args.encoder_ckpt, args.head_ckpt, params)
-            if report["skipped"]:
-                print(f"[ckpt] skipped keys: {report['skipped']}",
-                      file=sys.stderr)
-        else:
-            from ..ckpt import load_checkpoint
-            if args.encoder_ckpt:
-                params = load_checkpoint(args.encoder_ckpt, params)
+    if args.torch_ckpt:
+        if not (args.encoder_ckpt and args.head_ckpt):
+            raise SystemExit("--torch-ckpt needs both --encoder-ckpt and "
+                             "--head-ckpt (the reference saves two files)")
+        from ..ckpt.torch_import import import_torch_checkpoint
+
+        params, report = import_torch_checkpoint(
+            args.encoder_ckpt, args.head_ckpt, params)
+        if report["skipped"]:
+            print(f"[ckpt] skipped keys: {report['skipped']}",
+                  file=sys.stderr)
+    elif args.encoder_ckpt or args.head_ckpt:
+        raise SystemExit("--encoder-ckpt/--head-ckpt are for torch "
+                         "state_dicts (add --torch-ckpt); Orbax checkpoints "
+                         "hold both submodules — pass --ckpt DIR")
+    elif getattr(args, "ckpt", None):
+        from ..ckpt import load_checkpoint
+
+        params = load_checkpoint(args.ckpt, params)
     trainer.state = trainer.state.replace(params=params)
     return trainer
 
@@ -245,6 +258,7 @@ def main(argv=None):
     p.add_argument("--kind", choices=("stn", "ltn"), required=True)
     p.add_argument("--threshold", type=float, default=0.9)
     p.add_argument("--out", required=True)
+    p.add_argument("--ckpt", help="Orbax params directory (encoder+head)")
     p.add_argument("--encoder-ckpt", dest="encoder_ckpt")
     p.add_argument("--head-ckpt", dest="head_ckpt")
     p.add_argument("--torch-ckpt", dest="torch_ckpt", action="store_true",
@@ -253,6 +267,7 @@ def main(argv=None):
 
     p = sub.add_parser("evaluate", help="frame-AUC evaluation")
     _add_common(p)
+    p.add_argument("--ckpt", help="Orbax params directory (encoder+head)")
     p.add_argument("--encoder-ckpt", dest="encoder_ckpt")
     p.add_argument("--head-ckpt", dest="head_ckpt")
     p.add_argument("--torch-ckpt", dest="torch_ckpt", action="store_true")

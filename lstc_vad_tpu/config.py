@@ -181,11 +181,13 @@ def replace(cfg, **kw):
 def sht_stn() -> TrainConfig:
     """ShanghaiTech STN (Train/spatio_transformer_shanghaitech.py:201-267).
     README trains it with --encoder_weight_init --regressor_weight_init
-    --FFN_layerNorm (README.md:24)."""
+    --FFN_layerNorm --FFN_dropout 0.3 (README.md:24; the README's
+    --MHA_dropout flag does not exist in the script's argparse and is
+    dropped)."""
     return TrainConfig(
         model="stn",
         encoder=EncoderConfig(d_inner=3027, ffn_layernorm=True, weight_init=True,
-                              max_position_tokens=17),
+                              ffn_dropout=0.3, max_position_tokens=17),
         head=HeadConfig(kind="regressor", weight_init=True),
         data=DataConfig(dataset="SHT", n_patch=16, part_num=16, part_len=7),
         save_threshold=0.9685,

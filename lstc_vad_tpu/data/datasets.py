@@ -52,7 +52,10 @@ class PairedTrainDataset:
                  part_num: int, part_len: int, n_patch: int, sample: str,
                  pseudo_labels: Optional[Dict[str, np.ndarray]] = None,
                  ten_crop: bool = False, double_short: bool = False,
-                 seed: int = 0):
+                 crop_per_video: bool = False, seed: int = 0):
+        """``crop_per_video``: tenCrop draw per VIDEO (UCF,
+        utils/load_dataset.py:413-415) instead of one shared crop per
+        normal/abnormal pair (SHT/UBnormal, :223-225,720-722)."""
         self.normal = [r for r in records if not r.is_abnormal]
         self.abnormal = [r for r in records if r.is_abnormal]
         self.store = store
@@ -63,6 +66,7 @@ class PairedTrainDataset:
         self.pseudo_labels = pseudo_labels
         self.ten_crop = ten_crop
         self.double_short = double_short
+        self.crop_per_video = crop_per_video
         self.rng = np.random.default_rng(seed)
         self.shuffle_keys()
 
@@ -107,9 +111,14 @@ class PairedTrainDataset:
             feat = feat[:, :self.n_patch, :]
         return np.ascontiguousarray(feat, dtype=np.float32), labs[idx]
 
+    def _draw_crop(self) -> Optional[int]:
+        return int(self.rng.integers(0, 10)) if self.ten_crop else None
+
     def __getitem__(self, item: int):
-        crop = int(self.rng.integers(0, 10)) if self.ten_crop else None
+        crop = self._draw_crop()
         nf, nl = self._sample_video(self.normal[self._norm_perm[item]], crop)
+        if self.crop_per_video:
+            crop = self._draw_crop()
         af, al = self._sample_video(self.abnormal[self._abnorm_perm[item]], crop)
         return nf, nl, af, al
 

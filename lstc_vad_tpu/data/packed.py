@@ -74,9 +74,11 @@ def pack_h5(h5_path: str, pack_path: str, keys: Optional[Iterable[str]] = None):
 # ---------------------------------------------------------------- native
 
 def ensure_native(rebuild: bool = False) -> Optional[str]:
-    """Build csrc/libpackstore.so with make/g++ if missing; returns the path
-    or None if no toolchain is available."""
-    if os.path.exists(_LIB_PATH) and not rebuild:
+    """Build csrc/libpackstore.so with make/g++ if missing or stale (source
+    newer than the library); returns the path or None without a toolchain."""
+    src = os.path.join(os.path.abspath(_CSRC), "packstore.cpp")
+    if (os.path.exists(_LIB_PATH) and not rebuild
+            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)):
         return _LIB_PATH
     try:
         subprocess.run(["make", "-C", os.path.abspath(_CSRC)],

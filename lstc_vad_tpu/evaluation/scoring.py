@@ -85,6 +85,11 @@ class VideoScorer:
                 self.score_tokens(params, tokens[i:i + chunk])
                 for i in range(0, n, chunk)])
         bucket = pad_to_bucket(n)
+        if self.sharding is not None:
+            # the data-sharded leading axis must divide evenly over the mesh
+            div = int(np.prod([self.sharding.mesh.shape[ax]
+                               for ax in self.sharding.spec if ax]))
+            bucket = -(-bucket // div) * div
         if bucket != n:
             pad = np.zeros((bucket - n,) + tokens.shape[1:], tokens.dtype)
             tokens = np.concatenate([tokens, pad], axis=0)

@@ -100,8 +100,6 @@ def shard_params(params, mesh: Mesh):
 def state_shardings(state, mesh: Mesh):
     """Shardings for a full TrainState: params + optimizer accumulators get
     the param specs (Adagrad state mirrors params), scalars replicated."""
-    param_shardings = tree_shardings(state.params, mesh)
-
     def match(leaf_path, leaf):
         path = _path_str(leaf_path)
         if leaf is None:
@@ -112,5 +110,4 @@ def state_shardings(state, mesh: Mesh):
             spec = P()
         return NamedSharding(mesh, spec)
 
-    del param_shardings
     return jax.tree_util.tree_map_with_path(match, state)

@@ -61,17 +61,28 @@ class StreamingScorer:
                              f"({self.n_patch}, {self.d_model})")
         buf.append(clip)
 
-    def end_stream(self, stream_id: str) -> Optional[float]:
-        """Finish a stream.  If clips are left over (fewer than part_len),
-        they are scored as ONE short part at their true length — matching the
+    def end_stream(self, stream_id: str) -> List[float]:
+        """Finish a stream: any buffered clips are scored as full part_len
+        parts, plus one final SHORT part at its true length — matching the
         offline no-re-window tail semantics (the relative-PE index slices to
-        the shorter sequence, models/MultiHeadAttention.py:108).  Returns that
-        final score, or None if the buffer was empty/aligned."""
+        the shorter sequence, models/MultiHeadAttention.py:108).  Returns the
+        emitted scores, [] if the buffer was empty."""
         buf = self._buffers.pop(stream_id, None)
         if not buf:
-            return None
-        tokens = np.concatenate(buf, axis=0)[None]
-        return float(np.asarray(self._apply(self.params, tokens))[0])
+            return []
+        scores: List[float] = []
+        for start in range(0, len(buf) - len(buf) % self.part_len,
+                           self.part_len):
+            tokens = np.concatenate(buf[start:start + self.part_len],
+                                    axis=0)[None]
+            scores.append(float(np.asarray(
+                self._apply(self.params, tokens))[0]))
+        tail = len(buf) % self.part_len
+        if tail:
+            tokens = np.concatenate(buf[len(buf) - tail:], axis=0)[None]
+            scores.append(float(np.asarray(
+                self._apply(self.params, tokens))[0]))
+        return scores
 
     def ready(self) -> List[str]:
         return [sid for sid, buf in self._buffers.items()

@@ -82,7 +82,7 @@ class Trainer:
                 records, self.store, part_num=d.part_num, part_len=d.part_len,
                 n_patch=d.n_patch, sample=d.sample, pseudo_labels=pseudo,
                 ten_crop=d.ten_crop, double_short=(d.dataset == "UCF"),
-                seed=d.seed)
+                crop_per_video=(d.dataset == "UCF"), seed=d.seed)
         self.train_records = records
 
         self.test_videos = load_test_videos(

@@ -149,3 +149,18 @@ def test_batch_fast_path_matches_per_item(tmp_path, rng, native_available):
     assert len(it_fast) == 1
     for a, b in zip(it_fast[0], batch_slow):
         np.testing.assert_array_equal(a, b)
+
+
+def test_gather_batch_rejects_heterogeneous_d_model(tmp_path, rng,
+                                                    native_available):
+    if not native_available:
+        pytest.skip("no C++ toolchain")
+    videos = [("a", rng.standard_normal((5, 4, 8)).astype(np.float32)),
+              ("b", rng.standard_normal((5, 4, 16)).astype(np.float32))]
+    path = str(tmp_path / "het.lstcpack")
+    write_pack(path, videos)
+    store = PackedStore(path, use_native=True)
+    idx = np.zeros((2, 3), dtype=np.int64)
+    with pytest.raises(RuntimeError, match="rc=-4"):
+        store.gather_batch(["a", "b"], idx, n_patch_out=4, d_model=8)
+    store.close()

@@ -80,12 +80,27 @@ def test_end_stream_scores_short_tail(model, rng):
     for clip in video:
         scorer.push("cam0", clip)
     scorer.flush()  # consumes first 3 clips
-    tail_score = scorer.end_stream("cam0")
-    assert tail_score is not None
+    tail_scores = scorer.end_stream("cam0")
+    assert len(tail_scores) == 1
     # equals a direct short-part forward on the last 2 clips
     tokens = video[3:].reshape(1, -1, d)
     h = enc.apply({"params": params["encoder"]}, tokens, deterministic=True)
     expected = float(head.apply({"params": params["head"]}, h[:, 0, :],
                                 deterministic=True)[0, 1])
-    assert tail_score == pytest.approx(expected, abs=1e-6)
-    assert scorer.end_stream("cam0") is None
+    assert tail_scores[0] == pytest.approx(expected, abs=1e-6)
+    assert scorer.end_stream("cam0") == []
+
+
+def test_end_stream_with_multiple_buffered_parts(model, rng):
+    # 7 clips buffered, never flushed: end_stream emits 2 full parts + tail
+    enc, head, params = model
+    part_len, n_patch, d = 3, 4, 16
+    scorer = StreamingScorer(enc, head, params, part_len, n_patch, d)
+    video = rng.standard_normal((7, n_patch, d)).astype(np.float32)
+    for clip in video:
+        scorer.push("cam0", clip)
+    scores = scorer.end_stream("cam0")
+    assert len(scores) == 3  # parts [0:3], [3:6], short [6:7]
+    offline = PartScorer(enc, head, part_len, n_patch, tail_rewindow=False)
+    expected, _ = offline.score_video(params, video)
+    np.testing.assert_allclose(scores, expected, atol=1e-5)
