@@ -156,3 +156,12 @@ def test_bfloat16_transfer_dtype(tmp_path):
     # bf16-rounded inputs: same loss to ~2 decimal places
     assert r16.history[0]["loss"] == pytest.approx(r32.history[0]["loss"],
                                                    abs=0.05)
+
+
+def test_ltn_temporal_only_disables_ce(tmp_path):
+    from lstc_vad_tpu.config import replace
+    cfg = replace(_cfg(tmp_path, "ltn"), **{"loss.temporal_only": True})
+    trainer = Trainer(cfg)
+    result = trainer.fit(epochs=1)
+    assert result.history[0]["ce"] == 0.0
+    assert np.isfinite(result.history[0]["mil"])
