@@ -111,7 +111,13 @@ def _load_params(args, trainer):
     elif getattr(args, "ckpt", None):
         from ..ckpt import load_checkpoint
 
-        params = load_checkpoint(args.ckpt, params)
+        try:
+            # AUC-gated saves hold bare params (Trainer.fit)
+            params = load_checkpoint(args.ckpt, params)
+        except (ValueError, KeyError):
+            # --save-state artifacts hold the full TrainState
+            state = load_checkpoint(args.ckpt, trainer.state)
+            params = state.params
     trainer.state = trainer.state.replace(params=params)
     return trainer
 

@@ -100,3 +100,30 @@ def test_cli_evaluate_with_torch_ckpt(tmp_path, capsys):
     assert "auc = " in out
     auc = float(out.strip().split("auc = ")[-1])
     assert 0.0 <= auc <= 1.0
+
+
+def test_cli_gen_pseudo_from_orbax_ckpt(tmp_path, capsys):
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    state_path = str(tmp_path / "state")
+    rc = main(["train", "--preset", "sht_stn", "--epochs", "1",
+               "--save-dir", str(tmp_path / "ckpt"),
+               "--save-state", state_path] + common)
+    assert rc == 0
+    out = str(tmp_path / "p.npy")
+    rc = main(["gen-pseudo", "--preset", "sht_stn", "--kind", "stn",
+               "--threshold", "0.5", "--out", out,
+               "--ckpt", state_path] + common)
+    assert rc == 0
+    pseudo = np.load(out, allow_pickle=True).tolist()
+    assert len(pseudo) == 7
+
+
+def test_cli_rejects_torch_flags_without_marker(tmp_path):
+    import pytest
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16)
+    common = _common(fixture)
+    with pytest.raises(SystemExit):
+        main(["evaluate", "--preset", "sht_ltn",
+              "--encoder-ckpt", "whatever"] + common)
