@@ -152,6 +152,8 @@ def cmd_gen_pseudo(args):
                           generate_stn_pseudo_labels, save_pseudo_labels)
     from ..train.driver import Trainer
 
+    if args.threshold is None:
+        args.threshold = 0.9 if args.kind == "stn" else 0.65
     trainer = Trainer(cfg, eval_only=True)
     trainer = _load_params(args, trainer)
     d = cfg.data
@@ -262,7 +264,8 @@ def main(argv=None):
     p = sub.add_parser("gen-pseudo", help="generate pseudo labels")
     _add_common(p)
     p.add_argument("--kind", choices=("stn", "ltn"), required=True)
-    p.add_argument("--threshold", type=float, default=0.9)
+    p.add_argument("--threshold", type=float, default=None,
+                   help="default: 0.9 for stn, 0.65 for ltn (README.md:27,35)")
     p.add_argument("--out", required=True)
     p.add_argument("--ckpt", help="Orbax params directory (encoder+head)")
     p.add_argument("--encoder-ckpt", dest="encoder_ckpt")

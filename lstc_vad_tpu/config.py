@@ -96,6 +96,10 @@ class DataConfig:
     transfer_dtype: str = "float32" # "bfloat16" halves host->device batch
                                     # bytes (features only; labels stay f32)
     ten_crop: bool = False
+    eval_crop: Optional[int] = None # which of the 10 crops to evaluate with
+                                    # (tenCrop stores only; the reference has
+                                    # NO committed tenCrop eval script, so the
+                                    # crop must be chosen explicitly)
     eager: bool = True              # load all features to RAM up-front
     batch_size: int = 40
     num_workers: int = 2
@@ -144,6 +148,8 @@ class TrainConfig:
     seed: int = 0
     model_save_dir: str = "checkpoints"
     eval_train_split: bool = True   # reference also evals the train split on SHT
+    eval_tail_rewindow: bool = True # LTN eval tail: re-window (standalone
+                                    # scripts) vs feed short (MIL_CE rounds)
     max_clips: int = 32             # UCF eval bin count
     donate: bool = True
 

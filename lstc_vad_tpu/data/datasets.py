@@ -150,7 +150,7 @@ class PairedTrainDataset:
                 idx[slot] = row
                 labs.append((slot, lab))
         keys.sort()
-        _, _, d_model = self.store._np.shape(keys[0][1])
+        _, _, d_model = self.store.shape(keys[0][1])
         feats = self.store.gather_batch([k for _, k in keys], idx,
                                         self.n_patch, d_model)
         lab_arr = np.empty((2 * n, idx.shape[1]), dtype=np.float32)

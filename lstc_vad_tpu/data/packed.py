@@ -169,6 +169,10 @@ class PackedStore:
 
     # -- FeatureStore interface
 
+    def shape(self, key: str):
+        """(n_clips, n_patch, d_model) as stored (pre-tenCrop reshape)."""
+        return self._np.shape(key)
+
     def n_clips(self, key: str) -> int:
         n_clips, _, _ = self._np.shape(key)
         if self._ten_crop:

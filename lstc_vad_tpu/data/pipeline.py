@@ -84,22 +84,45 @@ class Prefetcher:
     def __iter__(self):
         q: "queue.Queue" = queue.Queue(maxsize=self.depth)
         err: list = []
+        stop = threading.Event()
+
+        def put(item) -> bool:
+            while not stop.is_set():
+                try:
+                    q.put(item, timeout=0.1)
+                    return True
+                except queue.Full:
+                    continue
+            return False
 
         def worker():
             try:
                 for batch in self.iterable:
-                    q.put(self._put(batch))
+                    if not put(self._put(batch)):
+                        return  # consumer went away: stop cleanly
             except BaseException as e:  # propagate to consumer
                 err.append(e)
             finally:
-                q.put(self._SENTINEL)
+                put(self._SENTINEL)
 
         t = threading.Thread(target=worker, daemon=True)
         t.start()
-        while True:
-            item = q.get()
-            if item is self._SENTINEL:
-                if err:
-                    raise err[0]
-                return
-            yield item
+        try:
+            while True:
+                item = q.get()
+                if item is self._SENTINEL:
+                    if err:
+                        raise err[0]
+                    return
+                yield item
+        finally:
+            # consumer exited early (exception in the train step, interrupt):
+            # release the worker and drop any staged batches so the thread
+            # and its device buffers don't leak
+            stop.set()
+            while True:
+                try:
+                    q.get_nowait()
+                except queue.Empty:
+                    break
+            t.join(timeout=5)

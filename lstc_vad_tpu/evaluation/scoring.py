@@ -311,6 +311,10 @@ class UCFClipBinScorer:
                                      dtype=np.float32)
         r = ucf_bin_edges(n_clips, self.max_clips)
         bin_ids = [i for i in range(self.max_clips) if r[i] != r[i + 1]]
+        if not bin_ids:
+            # n_frames < segment_len: the reference loop scores nothing for
+            # this video and moves on (Train/spatio_transformer_UCF.py:123)
+            return (np.empty(0, np.float32), np.empty(0, np.int64), r)
         tokens = np.stack([feats[r[i]:r[i + 1]].mean(axis=0)
                            for i in bin_ids])
         scores = self.scorer.score_tokens(params, tokens)

@@ -61,7 +61,10 @@ def xavier_uniform_torch(torch_shape=None):
 
 
 def trunc_normal_02(key, shape, dtype=jnp.float32):
-    return 0.02 * jax.random.truncated_normal(key, -2.0, 2.0, shape, dtype)
+    """torch.nn.init.trunc_normal_(std=.02) truncates at ABSOLUTE bounds
+    a=-2, b=2 — that is +/-100 sigma at std 0.02, i.e. effectively an
+    untruncated N(0, 0.02^2) (MultiHeadAttention.py:74)."""
+    return 0.02 * jax.random.truncated_normal(key, -100.0, 100.0, shape, dtype)
 
 
 def randn(key, shape, dtype=jnp.float32):

@@ -58,7 +58,9 @@ class CoTeachingDriver:
     def train_ltn(self, epochs: int) -> Trainer:
         """LTN round: MIL + soft CE on the STN's pseudo labels
         (temporal_transformer_shanghaitech.py:103-134)."""
-        cfg = replace(self.ltn_cfg,
+        # the committed round driver's eval feeds short tails without
+        # re-windowing (Train/spatio_transformer_MIL_CE.py:296)
+        cfg = replace(self.ltn_cfg, eval_tail_rewindow=False,
                       **{"data.pseudo_labels_path": self.stn_pseudo_path})
         trainer = Trainer(cfg, logger=self.logger)
         trainer.fit(epochs=epochs)

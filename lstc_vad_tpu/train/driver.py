@@ -62,14 +62,17 @@ class Trainer:
         self.timer = StepTimer()
         d = cfg.data
 
-        records = load_train_records(d.dataset, d.train_txt)
+        records = (load_train_records(d.dataset, d.train_txt)
+                   if d.train_txt else [])
+        if not records and not eval_only:
+            raise ValueError("training requires data.train_txt")
         if d.pack_path:
             from .. data.packed import PackedStore
             self.store = PackedStore(d.pack_path, ten_crop=d.ten_crop,
                                      n_patch=d.n_patch, d_model=d.d_model)
         else:
             eager_keys = ([r.key for r in records]
-                          if d.eager and not eval_only else None)
+                          if records and d.eager and not eval_only else None)
             self.store = FeatureStore(d.h5_path, eager_keys=eager_keys,
                                       ten_crop=d.ten_crop, n_patch=d.n_patch,
                                       d_model=d.d_model)
@@ -131,10 +134,24 @@ class Trainer:
                     tail_rewindow=False, adaptive_bins=True, sharding=sh)
             else:
                 self.scorer = PartScorer(self.encoder, self.head, d.part_len,
-                                         d.n_patch, tail_rewindow=True,
+                                         d.n_patch,
+                                         tail_rewindow=cfg.eval_tail_rewindow,
                                          sharding=sh)
 
     # ---------------------------------------------------------------- eval
+
+    def _eval_feat(self, feat):
+        """tenCrop stores yield 4-D [n_clips, 10, n_patch, d] features; the
+        reference ships no tenCrop eval script, so evaluation requires an
+        explicit crop choice (data.eval_crop)."""
+        if self.cfg.data.ten_crop:
+            crop = self.cfg.data.eval_crop
+            if crop is None:
+                raise ValueError(
+                    "tenCrop evaluation needs data.eval_crop (0-9): the "
+                    "reference has no committed tenCrop eval semantics")
+            return feat[:, crop]
+        return feat
 
     def _test_items(self):
         d = self.cfg.data
@@ -142,13 +159,14 @@ class Trainer:
             if self.cfg.model.startswith("stn"):
                 # STN in-training eval bins from the annotation frame count
                 # (Train/spatio_transformer_UCF.py:121-122)
-                return [(v.feat, v.anno, v.n_frames // d.segment_len)
+                return [(self._eval_feat(v.feat), v.anno,
+                         v.n_frames // d.segment_len)
                         for v in self.test_videos]
             # LTN in-training eval uses the feature-array clip count
             # (Train/temporal_transformer_UCF.py:143-145)
-            return [(v.feat, v.anno, v.feat.shape[0])
+            return [(self._eval_feat(v.feat), v.anno, v.feat.shape[0])
                     for v in self.test_videos]
-        return [(v.feat, v.anno) for v in self.test_videos]
+        return [(self._eval_feat(v.feat), v.anno) for v in self.test_videos]
 
     def _train_items(self):
         """Train-split eval: abnormal videos use the frame mask GT
@@ -160,7 +178,7 @@ class Trainer:
                              "(set eval_train_split=False)")
         items = []
         for r in self.train_records:
-            feat = self.store.get(r.key)
+            feat = self._eval_feat(self.store.get(r.key))
             anno = None
             if r.is_abnormal:
                 anno = np.load(os.path.join(d.test_mask_dir, r.key + ".npy"),

@@ -165,3 +165,28 @@ def test_ltn_temporal_only_disables_ce(tmp_path):
     result = trainer.fit(epochs=1)
     assert result.history[0]["ce"] == 0.0
     assert np.isfinite(result.history[0]["mil"])
+
+
+def test_tencrop_eval_needs_explicit_crop(tmp_path):
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.config import (DataConfig, EncoderConfig, HeadConfig,
+                                     TrainConfig, replace)
+    h5_path, train_txt, test_txt, mask_dir = make_sht_like(
+        str(tmp_path), n_patch=4, d_model=16, n_clips=(14, 30), ten_crop=True)
+    cfg = TrainConfig(
+        model="stn",
+        encoder=EncoderConfig(ffn_layernorm=True, **SMALL_ENC),
+        head=HeadConfig(kind="regressor", d_model=16, hidden_dim=8),
+        data=DataConfig(dataset="SHT", h5_path=h5_path, train_txt=train_txt,
+                        test_txt=test_txt, test_mask_dir=mask_dir + "/",
+                        n_patch=4, d_model=16, part_num=4, part_len=3,
+                        batch_size=2, ten_crop=True),
+        epochs=1, inter_epoch=1, save_threshold=2.0, eval_train_split=False,
+        model_save_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg)
+    with pytest.raises(ValueError, match="eval_crop"):
+        trainer.evaluate("test")
+    # with a crop chosen, eval works
+    trainer2 = Trainer(replace(cfg, **{"data.eval_crop": 3}))
+    auc = trainer2.evaluate("test")
+    assert 0.0 <= auc <= 1.0
