@@ -33,16 +33,21 @@ def _coerce(cfg, path: str, raw: str):
     for p in parts[:-1]:
         node = getattr(node, p)
     field = {f.name: f for f in dataclasses.fields(node)}[parts[-1]]
-    t = field.type
+    t = str(field.type)
     current = getattr(node, parts[-1])
-    if isinstance(current, bool) or t in ("bool",):
+    if isinstance(current, bool) or t == "bool":
         return raw.lower() in ("1", "true", "yes", "on")
+    if raw == "None":
+        return None
     if isinstance(current, int) and not isinstance(current, bool):
         return int(raw)
     if isinstance(current, float):
         return float(raw)
-    if raw == "None":
-        return None
+    if current is None:  # Optional fields: fall back to the annotation
+        if "int" in t:
+            return int(raw)
+        if "float" in t:
+            return float(raw)
     return raw
 
 

@@ -127,3 +127,13 @@ def test_cli_rejects_torch_flags_without_marker(tmp_path):
     with pytest.raises(SystemExit):
         main(["evaluate", "--preset", "sht_ltn",
               "--encoder-ckpt", "whatever"] + common)
+
+
+def test_cli_coerce_optional_fields():
+    from lstc_vad_tpu.cli.main import _coerce
+    from lstc_vad_tpu.config import preset
+
+    cfg = preset("sht_stn")
+    assert _coerce(cfg, "data.eval_crop", "3") == 3
+    assert _coerce(cfg, "data.eval_crop", "None") is None
+    assert _coerce(cfg, "data.pseudo_labels_path", "x.npy") == "x.npy"
