@@ -1,114 +1,6 @@
-"""Benchmark: flagship (ShanghaiTech LTN) evaluation throughput on one chip.
+"""Driver entry: one JSON line benchmark (see lstc_vad_tpu/benchmark.py)."""
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
-
-Metric: snippets (16-frame clips) scored per second through the full eval
-path — encoder (3 layers, d_model 2048, 8 heads, 3-D relative position bias
-over 49 tokens) + classifier — with all parts of all videos batched on
-device, as the evaluation drivers run it.
-
-Baseline: the reference evaluates ONE part per device call in a Python loop
-with a `.cpu().numpy()` sync per part
-(/root/reference/Test/evaluation_shanghaitech_ubnormal.py:77-91).  It
-publishes no throughput numbers (SURVEY §6), so vs_baseline is measured, not
-quoted: the same weights are driven through a reference-style batch-1
-per-part loop (device round-trip per part, as the reference does) ON THE
-SAME CHIP, and vs_baseline = batched / reference_style.
-
-Both paths run on device-resident inputs; host<->device staging of the
-synthetic test set is outside the timed region (in deployment, input
-transfer overlaps compute via the prefetch pipeline).
-
-Caveat: both paths pay this environment's device-dispatch latency; the
-reference-style loop is hurt more by it (one round trip per part).  On
-locally-attached hardware the loop's absolute rate would be higher, but the
-architectural gap (per-part sync vs one fused sweep at MXU peak — measured
-~207 TFLOP/s on v5e, chip speed-of-light) is what the ratio demonstrates.
-"""
-
-import json
-import sys
-import time
-
-import numpy as np
-
-
-def main():
-    import jax
-
-    from lstc_vad_tpu.config import preset
-    from lstc_vad_tpu.models import Encoder, make_head
-
-    cfg = preset("sht_ltn")
-    encoder = Encoder(cfg.encoder)
-    head = make_head(cfg.head.kind, cfg.head.d_model)
-    d = cfg.encoder.d_model
-    part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
-    tokens_per_part = part_len * n_patch
-
-    rng = np.random.default_rng(0)
-    params = {
-        "encoder": encoder.init(
-            jax.random.PRNGKey(0),
-            np.zeros((1, tokens_per_part, d), np.float32))["params"],
-        "head": head.init(jax.random.PRNGKey(1),
-                          np.zeros((1, d), np.float32))["params"],
-    }
-
-    @jax.jit
-    def apply(params, x):
-        h = encoder.apply({"params": params["encoder"]}, x,
-                          deterministic=True)
-        return head.apply({"params": params["head"]}, h[:, 0, :],
-                          deterministic=True)[:, 1]
-
-    # synthetic SHT-scale test sweep: 64 videos x 192 clips = 64 parts each
-    n_videos, clips_per_video = 64, 192
-    parts_per_video = clips_per_video // part_len
-    batch = 1024  # parts per device call in the batched path
-
-    video_parts = [
-        jax.device_put(rng.standard_normal(
-            (parts_per_video, tokens_per_part, d)).astype(np.float32))
-        for _ in range(n_videos)]
-    all_parts = np.concatenate([np.asarray(v) for v in video_parts])
-    staged = [jax.device_put(all_parts[i:i + batch])
-              for i in range(0, len(all_parts), batch)]
-    total_snippets = n_videos * clips_per_video
-
-    # --- batched path (ours): large device batches, one drain per sweep ---
-    float(apply(params, staged[0]).sum())  # compile
-    for chunk in staged:                   # warm sweep
-        out = apply(params, chunk)
-    float(out.sum())
-    sweeps = 3
-    t0 = time.perf_counter()
-    for _ in range(sweeps):
-        outs = [apply(params, chunk) for chunk in staged]
-    float(outs[-1].sum())
-    batched_dt = (time.perf_counter() - t0) / sweeps
-    batched = total_snippets / batched_dt
-
-    # --- reference-style: batch-1 per part, host fetch per part ---
-    one = staged[0][:1]
-    np.asarray(apply(params, one))  # compile batch-1 program
-    n_ref_parts = 128
-    t0 = time.perf_counter()
-    for i in range(n_ref_parts):
-        score = np.asarray(apply(params, staged[0][i:i + 1]))
-    ref_dt = time.perf_counter() - t0
-    ref_rate = n_ref_parts * part_len / ref_dt
-
-    print(f"batched: {batched:.0f} snippets/s ({batched_dt*1e3:.0f} ms for "
-          f"{total_snippets}) | reference-style loop: {ref_rate:.0f} "
-          f"snippets/s", file=sys.stderr)
-    print(json.dumps({
-        "metric": "sht_ltn_eval_snippets_per_sec",
-        "value": round(batched, 1),
-        "unit": "snippets/s",
-        "vs_baseline": round(batched / ref_rate, 2),
-    }))
-
+from lstc_vad_tpu.benchmark import main
 
 if __name__ == "__main__":
     main()

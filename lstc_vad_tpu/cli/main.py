@@ -162,11 +162,20 @@ def cmd_gen_pseudo(args):
     trainer = Trainer(cfg, eval_only=True)
     trainer = _load_params(args, trainer)
     d = cfg.data
+    store = trainer.store
+    if d.ten_crop:
+        if d.eval_crop is None:
+            raise SystemExit("tenCrop pseudo generation needs "
+                             "--set data.eval_crop=<0-9>")
+        from ..data.feature_store import CropView
+
+        store = CropView(store, d.eval_crop)
     records = load_train_records(d.dataset, d.train_txt)
     if args.kind == "stn":
-        scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
+        scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch,
+                            kind=cfg.head.kind)
         pseudo = generate_stn_pseudo_labels(trainer.state.params, scorer,
-                                            trainer.store, records,
+                                            store, records,
                                             args.threshold)
     else:
         if d.dataset == "UCF":
@@ -177,7 +186,7 @@ def cmd_gen_pseudo(args):
             scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
                                 d.n_patch, tail_rewindow=False)
         pseudo = generate_ltn_pseudo_labels(trainer.state.params, scorer,
-                                            trainer.store, records,
+                                            store, records,
                                             args.threshold,
                                             dataset=d.dataset,
                                             segment_len=d.segment_len)
@@ -202,7 +211,8 @@ def cmd_evaluate(args):
     if d.dataset == "UCF":
         # final-eval path (Test/evaluation_UCF.py): part_len forced to 2,
         # fixed 32 bins from n_frames//16, L2-normalized features
-        items = [(v.feat, v.anno, v.n_frames // d.segment_len)
+        items = [(trainer._eval_feat(v.feat), v.anno,
+                  v.n_frames // d.segment_len)
                  for v in trainer.test_videos]
         if cfg.model.startswith("stn"):
             scorer = UCFClipBinScorer(trainer.encoder, trainer.head,
@@ -215,7 +225,8 @@ def cmd_evaluate(args):
                                      l2_normalize=True, tail_rewindow=True)
             auc = evaluate_ucf_ltn(params, scorer, items, d.segment_len)
     else:
-        items = [(v.feat, v.anno) for v in trainer.test_videos]
+        items = [(trainer._eval_feat(v.feat), v.anno)
+                 for v in trainer.test_videos]
         if cfg.model.startswith("stn"):
             scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
             auc = evaluate_stn(params, scorer, items, d.segment_len)
@@ -248,10 +259,9 @@ def cmd_pack(args):
 
 
 def cmd_benchmark(_args):
-    import runpy
-    import os
-    runpy.run_path(os.path.join(os.path.dirname(__file__), "..", "..",
-                                "bench.py"), run_name="__main__")
+    from ..benchmark import main as bench_main
+
+    bench_main()
     return 0
 
 

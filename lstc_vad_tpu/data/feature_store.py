@@ -61,3 +61,19 @@ class FeatureStore:
 
     def close(self):
         self._h5.close()
+
+
+class CropView:
+    """Fix one tenCrop crop index over any store: get() returns 3-D
+    [n_clips, n_patch, d] features.  Used by eval/pseudo paths that need a
+    deterministic crop (the reference ships no tenCrop eval semantics)."""
+
+    def __init__(self, store, crop: int):
+        self._store = store
+        self._crop = crop
+
+    def get(self, key: str, crop: Optional[int] = None) -> np.ndarray:
+        return self._store.get(key, crop=self._crop if crop is None else crop)
+
+    def n_clips(self, key: str) -> int:
+        return self._store.n_clips(key)

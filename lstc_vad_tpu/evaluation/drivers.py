@@ -88,9 +88,11 @@ def evaluate_ucf_per_class(params, scorer: UCFBinnedScorer,
     aligned with class_names.  Returns (normal_far, mean_pr_auc)."""
     from .metrics import eval_each_part
 
+    items = list(items)
+    results = scorer.score_videos(params, [(f, n) for f, _, n in items])
     scores_dict, labels_dict = {}, {}
-    for (feats, anno, n_clips), cls in zip(items, class_names):
-        part_scores, parts, r = scorer.score_video(params, feats, n_clips)
+    for (part_scores, parts, r), (_, anno, _), cls in zip(
+            results, items, class_names):
         vs = ucf_expand(part_scores, parts, r, anno, segment_len)
         n = min(len(vs.scores), len(vs.labels))
         scores_dict.setdefault(cls, []).extend(vs.scores[:n])

@@ -148,9 +148,10 @@ def geometric_mean(scores, labels, threshold: float = 0.5) -> float:
 
 
 def f_measure(scores, labels, threshold: float = 0.5) -> float:
-    p = precision(scores, labels, threshold)
-    r = recall(scores, labels, threshold)
-    return 2 * p * r / (p + r)
+    p = np.float64(precision(scores, labels, threshold))
+    r = np.float64(recall(scores, labels, threshold))
+    with np.errstate(invalid="ignore"):
+        return float(2 * p * r / (p + r))  # nan when p=r=0, like the reference
 
 
 def mcc(scores, labels, threshold: float = 0.5) -> float:

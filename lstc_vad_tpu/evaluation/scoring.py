@@ -102,11 +102,15 @@ class VideoScorer:
 class ClipScorer:
     """STN: every clip of a video scored in one call
     (cf. Train/spatio_transformer_shanghaitech.py:133-137 per-video call,
-    which was already whole-video — kept batched + bucket-padded here)."""
+    which was already whole-video — kept batched + bucket-padded here).
 
-    def __init__(self, encoder, head, n_patch: int, sharding=None):
-        self.scorer = VideoScorer(encoder, head, "regressor",
-                                  sharding=sharding)
+    ``kind='classifier'`` serves the reference's n_layers==1 pseudo-generator
+    switch, which scores clips with a Classifier's abnormal-class probability
+    (Train/pseudo_labels_generator_spatio.py:54-61,81-84)."""
+
+    def __init__(self, encoder, head, n_patch: int, sharding=None,
+                 kind: str = "regressor"):
+        self.scorer = VideoScorer(encoder, head, kind, sharding=sharding)
         self.n_patch = n_patch
 
     def score_video(self, params, feats: np.ndarray) -> np.ndarray:

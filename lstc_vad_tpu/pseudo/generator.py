@@ -60,12 +60,28 @@ def generate_ltn_pseudo_labels(params, scorer, store: FeatureStore,
         feat = store.get(rec.key)
         if dataset == "UCF":
             n_clips = rec.n_frames // segment_len
-            part_scores, parts, _r = scorer.score_video(params, feat, n_clips)
+            part_scores, parts, r = scorer.score_video(params, feat, n_clips)
             part_scores = _threshold(part_scores, threshold)
-            counts = np.asarray([end - beg for beg, end in parts])
-        else:
-            part_scores, counts = scorer.score_video(params, feat)
-            part_scores = _threshold(part_scores, threshold)
+            # The reference saves BIN-resolution scores here (<=32 entries,
+            # pseudo_labels_generator_temporal.py:106-107) which its own
+            # train dataset then indexes with CLIP indices — a latent
+            # IndexError for videos longer than 32 clips.  We expand each
+            # part score over its bins' clip widths (r[end]-r[beg]) and pad/
+            # trim to the stored clip count so co-teaching actually works.
+            clip_scores = np.repeat(
+                part_scores,
+                [int(r[end] - r[beg]) for beg, end in parts]).astype(
+                    np.float32)
+            feat_len = store.n_clips(rec.key)
+            if len(clip_scores) < feat_len:
+                pad = np.full(feat_len - len(clip_scores),
+                              clip_scores[-1] if len(clip_scores) else 0.0,
+                              np.float32)
+                clip_scores = np.concatenate([clip_scores, pad])
+            out[rec.key + ".npy"] = clip_scores[:feat_len]
+            continue
+        part_scores, counts = scorer.score_video(params, feat)
+        part_scores = _threshold(part_scores, threshold)
         out[rec.key + ".npy"] = np.repeat(part_scores, counts)
     return out
 

@@ -91,3 +91,54 @@ def test_coteaching_three_rounds(tmp_path):
     assert len(pseudo) == 7
     # LTN trainer consumed the STN pseudo labels
     assert trainers[1].cfg.data.pseudo_labels_path == driver.stn_pseudo_path
+
+
+def test_ucf_ltn_pseudo_labels_at_clip_resolution(tmp_path):
+    """Regression: UCF LTN pseudo labels must index by CLIP, not bin."""
+    from fixtures import make_ucf_like
+    from lstc_vad_tpu.config import (DataConfig, EncoderConfig, HeadConfig,
+                                     TrainConfig)
+    from lstc_vad_tpu.evaluation.scoring import UCFBinnedScorer
+
+    h5, train_txt, test_txt, gt_h5 = make_ucf_like(
+        str(tmp_path), n_patch=3, d_model=16, n_clips=(35, 60))  # > 32 clips
+    part_len = 2
+    cfg = TrainConfig(
+        model="ltn",
+        encoder=EncoderConfig(mha_layernorm=True, ffn_layernorm=True,
+                              relative_pe=True, window_size=4,
+                              window_depth=part_len, **SMALL_ENC),
+        head=HeadConfig(kind="classifier", d_model=16, hidden_dim=8),
+        data=DataConfig(dataset="UCF", h5_path=h5, train_txt=train_txt,
+                        test_txt=test_txt, test_mask_h5=gt_h5, n_patch=3,
+                        d_model=16, part_num=4, part_len=part_len,
+                        batch_size=2, eager=False),
+        epochs=1, inter_epoch=1, save_threshold=2.0, eval_train_split=False,
+        max_clips=8, model_save_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg)
+    records = load_train_records("UCF", train_txt)
+    scorer = UCFBinnedScorer(trainer.encoder, trainer.head, part_len, 3,
+                             max_clips=8, l2_normalize=False,
+                             tail_rewindow=False)
+    pseudo = generate_ltn_pseudo_labels(trainer.state.params, scorer,
+                                        trainer.store, records, threshold=0.3,
+                                        dataset="UCF", segment_len=16)
+    for r in records:
+        assert len(pseudo[r.key + ".npy"]) == trainer.store.n_clips(r.key)
+
+    # and the co-teaching STN round can consume them without IndexError
+    pseudo_path = str(tmp_path / "ltn_pseudo.npy")
+    np.save(pseudo_path, pseudo)
+    from lstc_vad_tpu.config import replace
+    stn_cfg = TrainConfig(
+        model="stn_bce",
+        encoder=EncoderConfig(ffn_layernorm=True, **SMALL_ENC),
+        head=HeadConfig(kind="regressor", d_model=16, hidden_dim=8),
+        data=DataConfig(dataset="UCF", h5_path=h5, train_txt=train_txt,
+                        test_txt="", n_patch=3, d_model=16, part_num=4,
+                        part_len=5, batch_size=2, eager=False,
+                        pseudo_labels_path=pseudo_path),
+        epochs=1, inter_epoch=1, save_threshold=2.0, eval_train_split=False,
+        model_save_dir=str(tmp_path / "ckpt2"))
+    result = Trainer(stn_cfg).fit(epochs=1)
+    assert result.steps == 1
