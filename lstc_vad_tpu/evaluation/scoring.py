@@ -27,6 +27,22 @@ from .frame_auc import part_slices, ucf_bin_edges, ucf_bin_pool, ucf_part_plan
 
 BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
+_APPLY_CACHE: dict = {}
+
+
+def _scorer_apply(encoder, head, kind, l2, params, x):
+    if l2:
+        # UCF eval-only quirk: F.normalize(p=2) on the raw features
+        # (Test/evaluation_UCF.py:77)
+        norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
+        x = x / jnp.maximum(norm, 1e-12)
+    h = encoder.apply({"params": params["encoder"]}, x, deterministic=True)
+    out = head.apply({"params": params["head"]}, h[:, 0, :],
+                     deterministic=True)
+    if kind == "classifier":
+        return out[:, 1]
+    return out[:, 0]
+
 
 def pad_to_bucket(n: int) -> int:
     for b in BUCKETS:
@@ -54,25 +70,16 @@ class VideoScorer:
 
     @functools.cached_property
     def _apply(self):
-        encoder, head, kind = self.encoder, self.head, self.kind
-        l2 = self.l2_normalize
-
-        @jax.jit
-        def apply(params, x):
-            if l2:
-                # UCF eval-only quirk: F.normalize(p=2) on the raw features
-                # (Test/evaluation_UCF.py:77)
-                norm = jnp.linalg.norm(x, axis=-1, keepdims=True)
-                x = x / jnp.maximum(norm, 1e-12)
-            h = encoder.apply({"params": params["encoder"]}, x,
-                              deterministic=True)
-            out = head.apply({"params": params["head"]}, h[:, 0, :],
-                             deterministic=True)
-            if kind == "classifier":
-                return out[:, 1]
-            return out[:, 0]
-
-        return apply
+        # process-level cache: flax Modules are frozen dataclasses, so equal
+        # (encoder, head) configs share one jitted program across scorer
+        # instances (e.g. every co-teaching round) instead of re-tracing
+        key = (self.encoder, self.head, self.kind, self.l2_normalize)
+        fn = _APPLY_CACHE.get(key)
+        if fn is None:
+            fn = _APPLY_CACHE[key] = jax.jit(
+                functools.partial(_scorer_apply, self.encoder, self.head,
+                                  self.kind, self.l2_normalize))
+        return fn
 
     def score_tokens(self, params, tokens: np.ndarray) -> np.ndarray:
         """tokens: [B, T, d] float32 -> scores [B] (host numpy).

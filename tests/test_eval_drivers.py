@@ -112,3 +112,13 @@ def test_ucf_part_plan_tail_overlap():
     # 8 bins, part_len 3 -> parts (0,3), (3,6), tail re-windowed to (5,8)
     assert ucf_part_plan(8, 3) == [(0, 3), (3, 6), (5, 8)]
     assert ucf_part_plan(6, 3) == [(0, 3), (3, 6)]
+
+
+def test_scorer_apply_cache_shared_across_instances(ltn_model):
+    from lstc_vad_tpu.evaluation.scoring import VideoScorer
+    enc, head, _ = ltn_model
+    a = VideoScorer(enc, head, "classifier")
+    b = VideoScorer(enc, head, "classifier")
+    assert a._apply is b._apply  # same compiled program, no re-trace
+    c = VideoScorer(enc, head, "classifier", l2_normalize=True)
+    assert c._apply is not a._apply
