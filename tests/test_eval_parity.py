@@ -117,3 +117,89 @@ def test_stn_eval_pipeline_matches_reference_loop(rng):
         np.repeat(s, 16) for s in
         scorer.score_videos(params_flax, [f for f, _ in videos])])
     np.testing.assert_allclose(ours, ref_scores, atol=2e-5)
+
+
+def torch_reference_ucf_eval(params, cfg, videos, part_len, max_clips,
+                             segment_len=16):
+    """Re-enactment of Test/evaluation_UCF.py:47-86: linspace bins, per-bin
+    mean pool (empty bin re-uses its start clip), short-tail beg=end-part_len
+    overlap, L2 normalize, expansion x (r[end]-r[beg])*segment_len."""
+    import torch.nn.functional as F
+
+    scores_list, labels_list = [], []
+    for feats_all, anno, n_frames in videos:
+        t = torch.from_numpy(feats_all)
+        n_clips = n_frames // segment_len
+        r = np.linspace(0, n_clips, max_clips + 1, dtype=np.int32)
+        n_part = max_clips // part_len
+        if n_part * part_len < max_clips:
+            n_part += 1
+        for pi in range(n_part):
+            beg = pi * part_len
+            end = max_clips if pi == n_part - 1 else (pi + 1) * part_len
+            if end - beg < part_len:
+                beg = end - part_len
+            feat_cat = None
+            for r_i in range(beg, end):
+                if r[r_i] == r[r_i + 1]:
+                    feature = t[r[r_i]].reshape(-1, t.shape[1], t.shape[2])
+                else:
+                    feature = t[r[r_i]:r[r_i + 1]].mean(0, keepdim=True)
+                feat_cat = feature if feat_cat is None else torch.cat(
+                    [feat_cat, feature], dim=0)
+            tokens = feat_cat.reshape(1, -1, t.shape[2])
+            tokens = F.normalize(tokens, p=2, dim=-1)
+            h = encoder_forward(tokens.numpy(), params["encoder"], cfg)
+            probs = head_forward(h[:, 0, :], params["head"], "classifier")
+            score = float(probs[0, 1])
+            reps = int(r[end] - r[beg]) * segment_len
+            scores_list.extend([score] * reps)
+            labels_list.extend(
+                anno[r[beg] * segment_len:r[end] * segment_len].tolist())
+    return np.asarray(scores_list), np.asarray(labels_list)
+
+
+def test_ucf_final_eval_matches_reference_loop(rng):
+    from lstc_vad_tpu.evaluation.frame_auc import ucf_expand
+    from lstc_vad_tpu.evaluation.scoring import UCFBinnedScorer
+
+    part_len, n_patch, d, max_clips = 2, 3, 16, 8
+    cfg = EncoderConfig(relative_pe=True, window_size=4,
+                        window_depth=part_len, mha_layernorm=True,
+                        ffn_layernorm=True, **SMALL)
+    enc = Encoder(cfg)
+    head = make_head("classifier", d, 8)
+    params_flax = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, part_len * n_patch, d),
+                                     np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, d), np.float32))["params"]}
+    params_np = jax.tree.map(np.asarray, params_flax)
+
+    videos = []
+    for _ in range(4):
+        clips = int(rng.integers(3, 40))
+        n_frames = clips * 16 + int(rng.integers(0, 16))
+        feat = rng.standard_normal((clips, n_patch, d)).astype(np.float32)
+        anno = (rng.random(n_frames) < 0.3).astype(np.float64)
+        videos.append((feat, anno, n_frames))
+
+    ref_scores, ref_labels = torch_reference_ucf_eval(
+        params_np, cfg, videos, part_len, max_clips)
+
+    scorer = UCFBinnedScorer(enc, head, part_len, n_patch,
+                             max_clips=max_clips, l2_normalize=True,
+                             tail_rewindow=True)
+    ours_scores, ours_labels = [], []
+    for feat, anno, n_frames in videos:
+        part_scores, parts, r = scorer.score_video(params_flax, feat,
+                                                   n_frames // 16)
+        vs = ucf_expand(part_scores, parts, r, anno, 16)
+        ours_scores.append(vs.scores)
+        ours_labels.append(vs.labels)
+    ours_scores = np.concatenate(ours_scores)
+    ours_labels = np.concatenate(ours_labels)
+
+    np.testing.assert_array_equal(ours_labels, ref_labels)
+    np.testing.assert_allclose(ours_scores, ref_scores, atol=2e-5)
