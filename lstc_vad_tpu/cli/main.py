@@ -217,23 +217,36 @@ def cmd_evaluate(args):
         if cfg.model.startswith("stn"):
             scorer = UCFClipBinScorer(trainer.encoder, trainer.head,
                                       d.n_patch, cfg.max_clips)
-            auc = evaluate_ucf_stn(params, scorer, items, d.segment_len)
+            result = evaluate_ucf_stn(params, scorer, items, d.segment_len,
+                                      return_scores=bool(args.dump_scores))
         else:
             scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
                                      part_len=2, n_patch=d.n_patch,
                                      max_clips=cfg.max_clips,
                                      l2_normalize=True, tail_rewindow=True)
-            auc = evaluate_ucf_ltn(params, scorer, items, d.segment_len)
+            result = evaluate_ucf_ltn(params, scorer, items, d.segment_len,
+                                      return_scores=bool(args.dump_scores))
     else:
         items = [(trainer._eval_feat(v.feat), v.anno)
                  for v in trainer.test_videos]
         if cfg.model.startswith("stn"):
             scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
-            auc = evaluate_stn(params, scorer, items, d.segment_len)
+            result = evaluate_stn(params, scorer, items, d.segment_len,
+                                  return_scores=bool(args.dump_scores))
         else:
             scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
                                 d.n_patch, tail_rewindow=True)
-            auc = evaluate_ltn(params, scorer, items, d.segment_len)
+            result = evaluate_ltn(params, scorer, items, d.segment_len,
+                                  return_scores=bool(args.dump_scores))
+    if args.dump_scores:
+        import numpy as np
+
+        auc, per_video = result
+        np.savez(args.dump_scores,
+                 **{v.key: s for v, s in zip(trainer.test_videos, per_video)})
+        print(f"frame scores -> {args.dump_scores}")
+    else:
+        auc = result
     print(f"auc = {auc}")
     return 0
 
@@ -291,6 +304,8 @@ def main(argv=None):
 
     p = sub.add_parser("evaluate", help="frame-AUC evaluation")
     _add_common(p)
+    p.add_argument("--dump-scores", dest="dump_scores",
+                   help="write per-video frame scores to this .npz")
     p.add_argument("--ckpt", help="Orbax params directory (encoder+head)")
     p.add_argument("--encoder-ckpt", dest="encoder_ckpt")
     p.add_argument("--head-ckpt", dest="head_ckpt")

@@ -25,8 +25,16 @@ def _concat_auc(scores: List[np.ndarray], labels: List[np.ndarray]) -> float:
     return roc_auc(np.concatenate(scores), np.concatenate(labels))
 
 
+def _result(all_scores, all_labels, return_scores):
+    auc = _concat_auc(all_scores, all_labels)
+    if return_scores:
+        return auc, all_scores
+    return auc
+
+
 def evaluate_stn(params, scorer: ClipScorer, items: Iterable[Item],
-                 segment_len: int = 16) -> float:
+                 segment_len: int = 16,
+                 return_scores: bool = False):
     """STN whole-video eval: clip scores x segment_len vs annotation head
     (Train/spatio_transformer_shanghaitech.py:133-143; anno=None -> zeros,
     the normal-video train-split branch :164-165).  All videos' clips are
@@ -40,11 +48,12 @@ def evaluate_stn(params, scorer: ClipScorer, items: Iterable[Item],
             anno[:len(s)], dtype=np.float64)
         all_scores.append(s[:len(lab)])
         all_labels.append(lab)
-    return _concat_auc(all_scores, all_labels)
+    return _result(all_scores, all_labels, return_scores)
 
 
 def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
-                 segment_len: int = 16) -> float:
+                 segment_len: int = 16,
+                 return_scores: bool = False):
     """LTN part-chunked eval with tail re-window
     (Test/evaluation_shanghaitech_ubnormal.py:70-95).  All videos' parts are
     scored in large cross-video batches (scorer.score_videos)."""
@@ -57,12 +66,12 @@ def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
             anno[:len(s)], dtype=np.float64)
         all_scores.append(s[:len(lab)])
         all_labels.append(lab)
-    return _concat_auc(all_scores, all_labels)
+    return _result(all_scores, all_labels, return_scores)
 
 
 def evaluate_ucf_ltn(params, scorer: UCFBinnedScorer,
                      items: Iterable[Tuple[np.ndarray, np.ndarray, int]],
-                     segment_len: int = 16) -> float:
+                     segment_len: int = 16, return_scores: bool = False):
     """UCF binned eval: linspace compression + part grouping
     (Test/evaluation_UCF.py:44-87 with the scorer's final-eval flags;
     Train/temporal_transformer_UCF.py:139-172 with in-training flags).
@@ -76,7 +85,7 @@ def evaluate_ucf_ltn(params, scorer: UCFBinnedScorer,
         n = min(len(vs.scores), len(vs.labels))
         all_scores.append(vs.scores[:n])
         all_labels.append(vs.labels[:n])
-    return _concat_auc(all_scores, all_labels)
+    return _result(all_scores, all_labels, return_scores)
 
 
 def evaluate_ucf_per_class(params, scorer: UCFBinnedScorer,
@@ -103,17 +112,25 @@ def evaluate_ucf_per_class(params, scorer: UCFBinnedScorer,
 
 def evaluate_ucf_stn(params, scorer: UCFClipBinScorer,
                      items: Iterable[Tuple[np.ndarray, np.ndarray, int]],
-                     segment_len: int = 16) -> float:
+                     segment_len: int = 16, return_scores: bool = False):
     """UCF STN eval: per-bin regressor scores expanded x bin width
     (Train/spatio_transformer_UCF.py:120-137).  items: (feats, anno, n_clips)."""
-    all_scores, all_labels = [], []
+    all_scores, all_labels, per_video = [], [], []
     for feats, anno, n_clips in items:
         scores, bin_ids, r = scorer.score_video(params, feats, n_clips)
+        video_scores = []
         for score, i in zip(scores, bin_ids):
             width = int(r[i + 1] - r[i]) * segment_len
             lab = np.asarray(anno[r[i] * segment_len:r[i + 1] * segment_len],
                              dtype=np.float64)
             n = min(width, len(lab))
-            all_scores.append(np.full(n, score))
+            video_scores.append(np.full(n, score))
             all_labels.append(lab[:n])
-    return _concat_auc(all_scores, all_labels)
+        video_scores = (np.concatenate(video_scores) if video_scores
+                        else np.empty(0))
+        per_video.append(video_scores)
+        all_scores.append(video_scores)
+    auc = _concat_auc(all_scores, all_labels)
+    if return_scores:
+        return auc, per_video
+    return auc

@@ -137,3 +137,17 @@ def test_cli_coerce_optional_fields():
     assert _coerce(cfg, "data.eval_crop", "3") == 3
     assert _coerce(cfg, "data.eval_crop", "None") is None
     assert _coerce(cfg, "data.pseudo_labels_path", "x.npy") == "x.npy"
+
+
+def test_cli_evaluate_dump_scores(tmp_path, capsys):
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    out = str(tmp_path / "scores.npz")
+    rc = main(["evaluate", "--preset", "sht_ltn",
+               "--dump-scores", out] + common)
+    assert rc == 0
+    data = np.load(out)
+    assert len(data.files) == 7
+    for key in data.files:
+        assert data[key].ndim == 1 and len(data[key]) > 0
