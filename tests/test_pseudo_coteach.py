@@ -142,3 +142,42 @@ def test_ucf_ltn_pseudo_labels_at_clip_resolution(tmp_path):
         model_save_dir=str(tmp_path / "ckpt2"))
     result = Trainer(stn_cfg).fit(epochs=1)
     assert result.steps == 1
+
+
+def test_coteaching_ucf_three_rounds(tmp_path):
+    from fixtures import make_ucf_like
+    from lstc_vad_tpu.config import (DataConfig, EncoderConfig, HeadConfig,
+                                     TrainConfig)
+
+    h5, train_txt, test_txt, gt_h5 = make_ucf_like(
+        str(tmp_path), n_patch=3, d_model=16, n_clips=(8, 40))
+
+    def cfg(model):
+        part_len = 2 if model == "ltn" else 5
+        if model == "ltn":
+            enc = EncoderConfig(mha_layernorm=True, ffn_layernorm=True,
+                                relative_pe=True, window_size=4,
+                                window_depth=part_len, **SMALL_ENC)
+            head = HeadConfig(kind="classifier", d_model=16, hidden_dim=8)
+        else:
+            enc = EncoderConfig(ffn_layernorm=True, **SMALL_ENC)
+            head = HeadConfig(kind="regressor", d_model=16, hidden_dim=8)
+        return TrainConfig(
+            model=model, encoder=enc, head=head,
+            data=DataConfig(dataset="UCF", h5_path=h5, train_txt=train_txt,
+                            test_txt=test_txt, test_mask_h5=gt_h5, n_patch=3,
+                            d_model=16, part_num=4, part_len=part_len,
+                            batch_size=2, eager=False),
+            epochs=1, inter_epoch=1, save_threshold=2.0,
+            eval_train_split=False, max_clips=8,
+            model_save_dir=str(tmp_path / "ckpt"))
+
+    driver = CoTeachingDriver(cfg("stn"), cfg("ltn"), str(tmp_path / "work"),
+                              stn_threshold=0.5, ltn_threshold=0.4)
+    trainers = driver.run(rounds=3, stn_epochs=1, ltn_epochs=1)
+    assert trainers[2].cfg.model == "stn_bce"
+    pseudo = np.load(driver.ltn_pseudo_path, allow_pickle=True).tolist()
+    # clip resolution regardless of video length
+    for trainer in [trainers[0]]:
+        for key, scores in pseudo.items():
+            assert len(scores) == trainer.store.n_clips(key[:-4])
