@@ -100,10 +100,15 @@ class PairedTrainDataset:
             feat = self.store.gather(rec.key, idx, self.n_patch)
             return feat, labs[idx]
         feat = self.store.get(rec.key, crop=crop)
-        if self.double_short:
-            feat = maybe_double_short(feat, self.part_len)
         labs = _labels_for(self._pseudo_for(rec.key), feat.shape[0],
                            rec.is_abnormal)
+        if self.double_short:
+            feat = maybe_double_short(feat, self.part_len)
+            # keep pseudo labels aligned with the doubled clips (the
+            # reference doubles only the features and would IndexError here)
+            while len(labs) < feat.shape[0]:
+                labs = np.repeat(labs, 2)
+            labs = labs[:feat.shape[0]]
         idx = sample_part_indices(feat.shape[0], self.part_num, self.part_len,
                                   self.sample, self.rng)
         feat = feat[idx]

@@ -77,9 +77,11 @@ def ensure_native(rebuild: bool = False) -> Optional[str]:
     """Build csrc/libpackstore.so with make/g++ if missing or stale (source
     newer than the library); returns the path or None without a toolchain."""
     src = os.path.join(os.path.abspath(_CSRC), "packstore.cpp")
-    if (os.path.exists(_LIB_PATH) and not rebuild
-            and os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)):
-        return _LIB_PATH
+    if os.path.exists(_LIB_PATH) and not rebuild:
+        # source may be absent in a binary deployment: the prebuilt lib wins
+        if (not os.path.exists(src)
+                or os.path.getmtime(_LIB_PATH) >= os.path.getmtime(src)):
+            return _LIB_PATH
     try:
         subprocess.run(["make", "-C", os.path.abspath(_CSRC)],
                        check=True, capture_output=True)

@@ -48,8 +48,13 @@ class CoTeachingDriver:
         pseudo labels (spatio_transformer_MIL_CE.py:166-181)."""
         cfg = self.stn_cfg
         if use_ltn_pseudo:
-            cfg = replace(cfg, model="stn_bce",
-                          **{"data.pseudo_labels_path": self.ltn_pseudo_path})
+            kw = {"data.pseudo_labels_path": self.ltn_pseudo_path}
+            if cfg.data.dataset == "UCF":
+                # the MIL_CE even-round UCF eval hardcodes 21 bins
+                # (spatio_transformer_MIL_CE.py:230), unlike the standalone
+                # STN script's 32
+                kw["max_clips"] = 21
+            cfg = replace(cfg, model="stn_bce", **kw)
         trainer = Trainer(cfg, logger=self.logger)
         trainer.fit(epochs=epochs)
         self.last_stn = trainer
@@ -67,13 +72,25 @@ class CoTeachingDriver:
         self.last_ltn = trainer
         return trainer
 
+    def _pseudo_store(self, trainer: Trainer):
+        """tenCrop stores need a fixed crop for deterministic pseudo labels
+        (no committed reference tenCrop generator semantics)."""
+        d = trainer.cfg.data
+        if d.ten_crop:
+            if d.eval_crop is None:
+                raise ValueError("tenCrop co-teaching needs data.eval_crop")
+            from ..data.feature_store import CropView
+
+            return CropView(trainer.store, d.eval_crop)
+        return trainer.store
+
     def generate_stn_pseudo(self, trainer: Trainer):
         d = trainer.cfg.data
         records = load_train_records(d.dataset, d.train_txt)
         scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
         pseudo = generate_stn_pseudo_labels(
-            trainer.state.params, scorer, trainer.store, records,
-            self.stn_threshold)
+            trainer.state.params, scorer, self._pseudo_store(trainer),
+            records, self.stn_threshold)
         save_pseudo_labels(self.stn_pseudo_path, pseudo)
         self.logger.info("STN pseudo labels -> %s", self.stn_pseudo_path)
 
@@ -88,8 +105,9 @@ class CoTeachingDriver:
             scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
                                 d.n_patch, tail_rewindow=False)
         pseudo = generate_ltn_pseudo_labels(
-            trainer.state.params, scorer, trainer.store, records,
-            self.ltn_threshold, dataset=d.dataset, segment_len=d.segment_len)
+            trainer.state.params, scorer, self._pseudo_store(trainer),
+            records, self.ltn_threshold, dataset=d.dataset,
+            segment_len=d.segment_len)
         save_pseudo_labels(self.ltn_pseudo_path, pseudo)
         self.logger.info("LTN pseudo labels -> %s", self.ltn_pseudo_path)
 

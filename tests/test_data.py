@@ -270,3 +270,20 @@ def test_part_slices_fuzz_vs_reference_bounds(rng):
             np.testing.assert_array_equal(idx, expected)
             total += cnt
         assert total == n_clips
+
+
+def test_double_short_also_doubles_pseudo_labels(tmp_path, rng):
+    """Regression: short UCF videos with pseudo labels must not IndexError."""
+    h5_path, train_txt, _, _ = make_ucf_like(str(tmp_path), n_clips=(3, 5),
+                                             n_patch=3)
+    records = load_train_records("UCF", train_txt)
+    store = FeatureStore(h5_path)
+    pseudo = {r.key + ".npy":
+              rng.random(store.n_clips(r.key)).astype(np.float32)
+              for r in records}
+    ds = PairedTrainDataset(records, store, part_num=4, part_len=7, n_patch=3,
+                            sample="uniform", pseudo_labels=pseudo,
+                            double_short=True)
+    nf, nl, af, al = ds[0]
+    assert nf.shape[0] == 28 and nl.shape == (28,)
+    assert np.isfinite(al).all()
