@@ -15,6 +15,8 @@ from lstc_vad_tpu.models import rpe
 
 
 def _t(a):
+    if isinstance(a, torch.Tensor):
+        return a  # pass grad-enabled leaves through untouched
     return torch.from_numpy(np.asarray(a, dtype=np.float32))
 
 
@@ -71,7 +73,7 @@ def ffn_forward(x, p, cfg):
     return x
 
 
-def encoder_forward(x_np, params, cfg, mask=None):
+def encoder_forward(x_np, params, cfg, mask=None, as_tensor=False):
     x = _t(x_np)
     if cfg.input_layernorm:
         x = _layer_norm(x, params["input_layer_norm"])
@@ -87,15 +89,14 @@ def encoder_forward(x_np, params, cfg, mask=None):
         x = mha_forward(x, p["slf_attn"], cfg, mask)
         if cfg.ffn_need:
             x = ffn_forward(x, p["pos_ffn"], cfg)
-    return x.numpy()
+    return x if as_tensor else x.numpy()
 
 
-def head_forward(x_np, params, kind):
+def head_forward(x_np, params, kind, as_tensor=False):
     x = _t(x_np)
     p = params["mlp"]
     x = F.relu(_linear(x, p["linear_0"]))
     x = _linear(x, p["linear_1"])
     x = _linear(x, p["linear_2"])
-    if kind == "regressor":
-        return torch.sigmoid(x).numpy()
-    return F.softmax(x, dim=-1).numpy()
+    out = torch.sigmoid(x) if kind == "regressor" else F.softmax(x, dim=-1)
+    return out if as_tensor else out.numpy()
