@@ -200,8 +200,7 @@ def cmd_evaluate(args):
     cfg = _apply_common(preset(args.preset), args)
     from ..evaluation.drivers import (evaluate_ltn, evaluate_stn,
                                      evaluate_ucf_ltn, evaluate_ucf_stn)
-    from ..evaluation.scoring import (ClipScorer, PartScorer,
-                                      UCFBinnedScorer, UCFClipBinScorer)
+    from ..evaluation.scoring import UCFBinnedScorer, UCFClipBinScorer
     from ..train.driver import Trainer
 
     trainer = Trainer(cfg, eval_only=True)
@@ -227,16 +226,16 @@ def cmd_evaluate(args):
             result = evaluate_ucf_ltn(params, scorer, items, d.segment_len,
                                       return_scores=bool(args.dump_scores))
     else:
-        items = [(trainer._eval_feat(v.feat), v.anno)
-                 for v in trainer.test_videos]
+        # SHT/UBnormal final eval == the in-training eval semantics; reuse
+        # the Trainer's scorer and item building
+        items = trainer._test_items()
         if cfg.model.startswith("stn"):
-            scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
-            result = evaluate_stn(params, scorer, items, d.segment_len,
+            result = evaluate_stn(params, trainer.scorer, items,
+                                  d.segment_len,
                                   return_scores=bool(args.dump_scores))
         else:
-            scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
-                                d.n_patch, tail_rewindow=True)
-            result = evaluate_ltn(params, scorer, items, d.segment_len,
+            result = evaluate_ltn(params, trainer.scorer, items,
+                                  d.segment_len,
                                   return_scores=bool(args.dump_scores))
     if args.dump_scores:
         import numpy as np

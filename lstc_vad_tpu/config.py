@@ -218,11 +218,13 @@ def sht_ltn() -> TrainConfig:
 
 
 def ucf_stn() -> TrainConfig:
-    """UCF-Crime STN (Train/spatio_transformer_UCF.py): 9 patches."""
+    """UCF-Crime STN (Train/spatio_transformer_UCF.py): 9 patches.  Unlike
+    the SHT README recipe, no command overrides the script defaults, so
+    FFN LayerNorm and xavier init stay OFF (store_true flags, :217-220)."""
     return TrainConfig(
         model="stn",
-        encoder=EncoderConfig(d_inner=3027, ffn_layernorm=True, weight_init=True),
-        head=HeadConfig(kind="regressor", weight_init=True),
+        encoder=EncoderConfig(d_inner=3027, ffn_layernorm=False),
+        head=HeadConfig(kind="regressor"),
         data=DataConfig(dataset="UCF", n_patch=9, part_num=16, part_len=7,
                         eager=False),
         save_threshold=0.83,
@@ -254,11 +256,12 @@ def ucf_ltn() -> TrainConfig:
 
 
 def ubnormal_stn() -> TrainConfig:
-    """UBnormal STN (Train/spatio_transformer_UBnormal.py)."""
+    """UBnormal STN (Train/spatio_transformer_UBnormal.py).  Script defaults:
+    FFN LayerNorm / xavier init OFF (store_true flags, :179-182)."""
     return TrainConfig(
         model="stn",
-        encoder=EncoderConfig(d_inner=3027, ffn_layernorm=True, weight_init=True),
-        head=HeadConfig(kind="regressor", weight_init=True),
+        encoder=EncoderConfig(d_inner=3027, ffn_layernorm=False),
+        head=HeadConfig(kind="regressor"),
         data=DataConfig(dataset="UBnormal", n_patch=16, part_num=16, part_len=7),
         save_threshold=0.9685,
         eval_train_split=False,
@@ -279,6 +282,10 @@ def ubnormal_ltn() -> TrainConfig:
         data=DataConfig(dataset="UBnormal", n_patch=16, part_num=16,
                         part_len=part_len, d_model=1024),
         save_threshold=0.9713,
+        # the reference's UBnormal train-split eval is inoperable (it parses
+        # the label from the n_frames field and `gt` is never loaded), and
+        # UBnormal ships masks for the test split only
+        eval_train_split=False,
     )
 
 

@@ -115,9 +115,10 @@ def evaluate_ucf_stn(params, scorer: UCFClipBinScorer,
                      segment_len: int = 16, return_scores: bool = False):
     """UCF STN eval: per-bin regressor scores expanded x bin width
     (Train/spatio_transformer_UCF.py:120-137).  items: (feats, anno, n_clips)."""
+    items = list(items)
+    results = scorer.score_videos(params, [(f, n) for f, _, n in items])
     all_scores, all_labels, per_video = [], [], []
-    for feats, anno, n_clips in items:
-        scores, bin_ids, r = scorer.score_video(params, feats, n_clips)
+    for (scores, bin_ids, r), (_, anno, _) in zip(results, items):
         video_scores = []
         for score, i in zip(scores, bin_ids):
             width = int(r[i + 1] - r[i]) * segment_len

@@ -330,3 +330,26 @@ class UCFClipBinScorer:
                            for i in bin_ids])
         scores = self.scorer.score_tokens(params, tokens)
         return scores, np.asarray(bin_ids), r
+
+    def score_videos(self, params, items):
+        """Cross-video batched variant: items = [(feats, n_clips)] ->
+        [(scores, bin_ids, r)].  All videos' pooled bin tokens go through
+        chunked score_tokens calls instead of one dispatch per video."""
+        plans = []
+        all_tokens = []
+        for feats, n_clips in items:
+            feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+                                         dtype=np.float32)
+            r = ucf_bin_edges(n_clips, self.max_clips)
+            bin_ids = [i for i in range(self.max_clips) if r[i] != r[i + 1]]
+            for i in bin_ids:
+                all_tokens.append(feats[r[i]:r[i + 1]].mean(axis=0))
+            plans.append((np.asarray(bin_ids, np.int64), r))
+        flat = (self.scorer.score_tokens(params, np.stack(all_tokens))
+                if all_tokens else np.empty(0, np.float32))
+        out, cursor = [], 0
+        for bin_ids, r in plans:
+            n = len(bin_ids)
+            out.append((flat[cursor:cursor + n], bin_ids, r))
+            cursor += n
+        return out

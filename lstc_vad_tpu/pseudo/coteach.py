@@ -88,8 +88,10 @@ class CoTeachingDriver:
         d = trainer.cfg.data
         records = load_train_records(d.dataset, d.train_txt)
         scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
+        params = (trainer.best_params if trainer.best_params is not None
+                  else trainer.state.params)
         pseudo = generate_stn_pseudo_labels(
-            trainer.state.params, scorer, self._pseudo_store(trainer),
+            params, scorer, self._pseudo_store(trainer),
             records, self.stn_threshold)
         save_pseudo_labels(self.stn_pseudo_path, pseudo)
         self.logger.info("STN pseudo labels -> %s", self.stn_pseudo_path)
@@ -104,8 +106,10 @@ class CoTeachingDriver:
         else:
             scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
                                 d.n_patch, tail_rewindow=False)
+        params = (trainer.best_params if trainer.best_params is not None
+                  else trainer.state.params)
         pseudo = generate_ltn_pseudo_labels(
-            trainer.state.params, scorer, self._pseudo_store(trainer),
+            params, scorer, self._pseudo_store(trainer),
             records, self.ltn_threshold, dataset=d.dataset,
             segment_len=d.segment_len)
         save_pseudo_labels(self.ltn_pseudo_path, pseudo)

@@ -60,6 +60,7 @@ class Trainer:
         self.sharding = sharding
         self.eval_only = eval_only
         self.timer = StepTimer()
+        self.best_params = None  # snapshot at the best gate AUC (fit)
         d = cfg.data
 
         records = (load_train_records(d.dataset, d.train_txt)
@@ -288,6 +289,14 @@ class Trainer:
                 if auc_train > result.best_train_auc:
                     result.best_train_auc = auc_train
                     result.best_train_epoch = epoch
+                if improved:
+                    # co-teaching regenerates pseudo labels from the BEST
+                    # weights, like the reference reloading its saved
+                    # checkpoint (spatio_transformer_MIL_CE.py:392-396).
+                    # Copy: the donated train step would invalidate these
+                    # buffers on the next epoch otherwise.
+                    self.best_params = jax.tree.map(lambda x: x.copy(),
+                                                    self.state.params)
                 if improved and gate > cfg.save_threshold:
                     path = os.path.join(
                         cfg.model_save_dir,
