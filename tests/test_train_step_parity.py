@@ -173,3 +173,78 @@ def test_ltn_train_step_matches_torch_autograd(rng):
             np.testing.assert_allclose(
                 np.asarray(leaf), ref[key].detach().numpy(),
                 rtol=1e-3, atol=1e-5, err_msg=f"{tree}/{key}")
+
+
+def test_stn_bce_train_step_matches_torch_autograd(rng):
+    from lstc_vad_tpu.train.steps import make_stn_bce_train_step
+
+    cfg = TrainConfig(
+        model="stn_bce",
+        encoder=EncoderConfig(d_model=D, d_inner=24, n_head=2, d_k=8, d_v=8,
+                              n_layers=1, ffn_layernorm=True,
+                              attn_dropout=0.0, fc_dropout=0.0,
+                              ffn_dropout=0.0, attn_impl="xla"),
+        head=HeadConfig(kind="regressor", d_model=D, hidden_dim=8,
+                        dropout=0.0),
+        data=DataConfig(n_patch=NP, part_num=PN, part_len=PL, d_model=D,
+                        batch_size=2),
+        optim=OptimConfig(lr_encoder=1e-3, lr_head=1e-2, weight_decay=1e-3),
+        loss=LossConfig(lambda_1=0.01, lambda_bce=1.0, lambda_normal=0.2,
+                        lambda_abnormal=2.0),
+        donate=False)
+
+    state, encoder, head, tx = create_train_state(cfg)
+    step = make_stn_bce_train_step(encoder, head, cfg, tx)
+
+    b = cfg.data.batch_size
+    norm = rng.standard_normal((b, PN * PL, NP, D)).astype(np.float32)
+    abnorm = rng.standard_normal((b, PN * PL, NP, D)).astype(np.float32)
+    pseudo = rng.random((b, PN * PL)).astype(np.float32)
+
+    params0 = jax.tree.map(np.asarray, state.params)
+    new_state, metrics = step(state, norm, np.zeros_like(pseudo), abnorm,
+                              pseudo)
+
+    # torch reference: MIL_CE even round (spatio_transformer_MIL_CE.py:155-181)
+    tp = _torch_params(params0)
+    feats = np.concatenate([norm, abnorm], 0).reshape(2 * b * PN * PL, NP, D)
+    h = encoder_forward(feats, tp["encoder"], cfg.encoder, as_tensor=True)
+    scores = head_forward(h[:, 0, :], tp["head"], "regressor",
+                          as_tensor=True).reshape(2 * b, PN * PL)
+    video = torch.max(torch.mean(scores.view(2 * b, PN, PL), -1), -1)[0]
+    err = torch.zeros(())
+    for i in range(b):
+        err = err + torch.sum(F.relu(1 - video[b:] + video[i]))
+    err = err / b ** 2
+    # flat-slice sparsity quirk: y_pred[batch_size:] on [2B*pn*pl, 1]
+    mil = err + cfg.loss.lambda_1 * torch.mean(scores.reshape(-1)[b:])
+    part_mean = scores.view(2 * b, PN, PL).mean(-1)
+    p = torch.from_numpy(pseudo).view(b, PN, PL).mean(-1)
+    labs = torch.zeros(2 * b, PN, 2)
+    labs[:b, :, 0] = 1.0
+    labs[b:, :, 1] = p
+    labs[b:, :, 0] = 1 - p
+    bce = torch.mean(-0.2 * labs[:, :, 0] * torch.log(1 - part_mean + 1e-8)
+                     - 2.0 * labs[:, :, 1] * torch.log(part_mean + 1e-8))
+    loss = cfg.loss.lambda_bce * bce + mil
+    assert float(loss) == pytest.approx(float(metrics["loss"]), rel=2e-4)
+
+    loss.backward()
+    enc_leaves = _flatten_with_group(tp["encoder"], "enc")
+    head_leaves = _flatten_with_group(tp["head"], "head")
+    opt = torch.optim.Adagrad(
+        [{"params": [t for _, _, t in enc_leaves], "lr": 1e-3},
+         {"params": [t for _, _, t in head_leaves], "lr": 1e-2}],
+        weight_decay=1e-3)
+    opt.step()
+
+    ours = jax.tree.map(np.asarray, new_state.params)
+    for group, tree in (("enc", "encoder"), ("head", "head")):
+        ref = {path: t for g, path, t in (enc_leaves if group == "enc"
+                                          else head_leaves)}
+        for path, leaf in jax.tree_util.tree_flatten_with_path(
+                ours[tree])[0]:
+            key = "/".join(getattr(k, "key", str(k)) for k in path)
+            np.testing.assert_allclose(
+                np.asarray(leaf), ref[key].detach().numpy(),
+                rtol=1e-3, atol=1e-5, err_msg=f"{tree}/{key}")
