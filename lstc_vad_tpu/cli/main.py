@@ -198,9 +198,14 @@ def cmd_gen_pseudo(args):
 
 def cmd_evaluate(args):
     cfg = _apply_common(preset(args.preset), args)
+    if cfg.data.dataset == "UCF" and not cfg.model.startswith("stn"):
+        # the reference final-eval script builds the encoder at part_len=2
+        # (Test/evaluation_UCF.py:33,42 + README command --part_len 2), so
+        # the relative-PE window and ckpt table shapes follow part_len=2
+        cfg = replace(cfg, **{"encoder.window_depth": 2, "data.part_len": 2})
     from ..evaluation.drivers import (evaluate_ltn, evaluate_stn,
                                      evaluate_ucf_ltn, evaluate_ucf_stn)
-    from ..evaluation.scoring import UCFBinnedScorer, UCFClipBinScorer
+    from ..evaluation.scoring import UCFBinnedScorer
     from ..train.driver import Trainer
 
     trainer = Trainer(cfg, eval_only=True)
@@ -214,9 +219,9 @@ def cmd_evaluate(args):
                   v.n_frames // d.segment_len)
                  for v in trainer.test_videos]
         if cfg.model.startswith("stn"):
-            scorer = UCFClipBinScorer(trainer.encoder, trainer.head,
-                                      d.n_patch, cfg.max_clips)
-            result = evaluate_ucf_stn(params, scorer, items, d.segment_len,
+            # same scorer the Trainer built (UCFClipBinScorer)
+            result = evaluate_ucf_stn(params, trainer.scorer, items,
+                                      d.segment_len,
                                       return_scores=bool(args.dump_scores))
         else:
             scorer = UCFBinnedScorer(trainer.encoder, trainer.head,

@@ -128,6 +128,19 @@ def weighted_bce(probs: jnp.ndarray, soft_labels: jnp.ndarray,
         - lambda_abnormal * soft_labels[..., 1] * jnp.log(probs + eps))
 
 
+def build_clip_labels(batch_size: int, part_num: int, part_len: int,
+                      abnorm_pseudo: jnp.ndarray) -> jnp.ndarray:
+    """[2B, part_num, 2] soft targets: normal videos hard (1,0), abnormal
+    parts soft (1-p, p) from clip pseudo scores
+    (temporal_transformer_shanghaitech.py:103-112, shared by the LTN CE and
+    the co-teaching BCE builds)."""
+    norm = jnp.zeros((batch_size, part_num, 2),
+                     jnp.float32).at[:, :, 0].set(1.0)
+    abnorm = soft_labels_from_pseudo(
+        abnorm_pseudo.reshape(batch_size, part_num * part_len), part_len)
+    return jnp.concatenate([norm, abnorm], axis=0)
+
+
 def soft_labels_from_pseudo(pseudo: jnp.ndarray, part_len: int) -> jnp.ndarray:
     """Clip-level pseudo scores -> per-part soft (1-p, p) targets.
 

@@ -19,10 +19,9 @@ import jax.numpy as jnp
 import optax
 
 from ..config import TrainConfig
-from ..objectives.losses import (coteach_stn_mil_loss, ltn_mil_loss,
-                                 soft_cross_entropy_on_probs,
-                                 soft_labels_from_pseudo, stn_mil_loss,
-                                 weighted_bce)
+from ..objectives.losses import (build_clip_labels, coteach_stn_mil_loss,
+                                 ltn_mil_loss, soft_cross_entropy_on_probs,
+                                 stn_mil_loss, weighted_bce)
 
 
 def _apply_update(tx, state, grads):
@@ -94,10 +93,7 @@ def make_stn_bce_train_step(encoder, head, cfg: TrainConfig, tx):
     def step(state, norm_feats, norm_labs, abnorm_feats, abnorm_labs):
         del norm_labs
         b = norm_feats.shape[0]
-        norm_labs2 = jnp.zeros((b, pn, 2), jnp.float32).at[:, :, 0].set(1.0)
-        abnorm_soft = soft_labels_from_pseudo(
-            abnorm_labs.reshape(b, pn * pl), pl)
-        clip_labs = jnp.concatenate([norm_labs2, abnorm_soft], axis=0)
+        clip_labs = build_clip_labels(b, pn, pl, abnorm_labs)
         feats = jnp.concatenate([norm_feats, abnorm_feats], axis=0)
         rng = jax.random.fold_in(state.rng, state.step)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
@@ -142,10 +138,7 @@ def make_ltn_train_step(encoder, head, cfg: TrainConfig, tx):
     def step(state, norm_feats, norm_labs, abnorm_feats, abnorm_labs):
         del norm_labs
         b = norm_feats.shape[0]
-        norm_labs2 = jnp.zeros((b, pn, 2), jnp.float32).at[:, :, 0].set(1.0)
-        abnorm_soft = soft_labels_from_pseudo(
-            abnorm_labs.reshape(b, pn * pl), pl)
-        clip_labs = jnp.concatenate([norm_labs2, abnorm_soft], axis=0)
+        clip_labs = build_clip_labels(b, pn, pl, abnorm_labs)
         feats = jnp.concatenate([norm_feats, abnorm_feats], axis=0)
         rng = jax.random.fold_in(state.rng, state.step)
         grads, metrics = jax.grad(loss_fn, has_aux=True)(
