@@ -37,13 +37,16 @@ def tiny_ltn_config(n_head: int = 8, batch_size: int = 8) -> TrainConfig:
     )
 
 
-def run_multichip_step(n_devices: int, devices=None) -> dict:
+def run_multichip_step(n_devices: int, devices=None,
+                       batch_size: int | None = None) -> dict:
     """Build an (data x model) mesh over ``n_devices``, shard state + batch,
     run ONE full LTN train step (fwd+bwd+Adagrad).  Returns the metrics."""
     data_ax, model_ax = factor_devices(n_devices)
     mesh = make_mesh(data_ax, model_ax, devices=devices)
     # one normal+abnormal pair per data-parallel shard
-    cfg = tiny_ltn_config(batch_size=max(2 * data_ax, 2))
+    if batch_size is None:
+        batch_size = max(2 * data_ax, 2)
+    cfg = tiny_ltn_config(batch_size=batch_size)
 
     state, encoder, head, tx = create_train_state(cfg)
     step_fn = make_ltn_train_step(encoder, head, cfg, tx)

@@ -28,12 +28,16 @@ from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 def factor_devices(n: int, n_head: int = 8, max_model: int = 8) -> Tuple[int, int]:
     """Split n devices into (data, model).  The model axis must divide the
-    head count (attention heads shard evenly); prefer the largest power-of-2
-    model axis <= max_model so tp stays within one ICI domain."""
+    head count (attention heads shard evenly) and is the largest power of 2
+    <= max_model that still leaves data >= 2 whenever n >= 4: the batch is
+    the scalable axis (docs/ARCHITECTURE.md), and a mixed mesh exercises
+    both the dp gradient all-reduce and the tp activation collectives
+    (n=8 -> (2, 4), n=4 -> (2, 2))."""
     model = 1
     m = 2
     while m <= max_model and n % m == 0 and n_head % m == 0:
-        model = m
+        if n // m >= 2 or n <= 2:
+            model = m
         m *= 2
     return n // model, model
 

@@ -13,7 +13,9 @@ from lstc_vad_tpu.parallel.dryrun import run_multichip_step
 def test_factor_devices():
     assert factor_devices(1) == (1, 1)
     assert factor_devices(2) == (1, 2)
-    assert factor_devices(8) == (1, 8)
+    # n >= 4 keeps both axes > 1: dp all-reduce AND tp collectives exercised
+    assert factor_devices(4) == (2, 2)
+    assert factor_devices(8) == (2, 4)
     assert factor_devices(16) == (2, 8)
     assert factor_devices(6, n_head=8) == (3, 2)
     assert factor_devices(3) == (3, 1)
@@ -42,7 +44,7 @@ def test_multichip_step_runs(n_devices):
 
 
 def test_multichip_matches_single_device():
-    m8 = run_multichip_step(8)
-    m1 = run_multichip_step(1)
+    m8 = run_multichip_step(8, batch_size=4)   # (2, 4) mesh
+    m1 = run_multichip_step(1, batch_size=4)
     # same math, different partitioning: losses agree to float32 reduction noise
     assert m8["loss"] == pytest.approx(m1["loss"], rel=1e-4)
