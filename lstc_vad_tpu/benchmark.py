@@ -23,8 +23,18 @@ transfer overlaps compute via the prefetch pipeline).
 Caveat: both paths pay this environment's device-dispatch latency; the
 reference-style loop is hurt more by it (one round trip per part).  On
 locally-attached hardware the loop's absolute rate would be higher, but the
-architectural gap (per-part sync vs one fused sweep at MXU peak — measured
-~207 TFLOP/s on v5e, chip speed-of-light) is what the ratio demonstrates.
+architectural gap (per-part sync vs one fused sweep near MXU peak — measured
+~135 TFLOP/s, ~69% MFU on v5e) is what the ratio demonstrates.
+
+Extra keys in the same JSON line (driver parses ONE line; the contract keys
+metric/value/unit/vs_baseline are unchanged):
+- ``train_snippets_per_sec``: the full jitted LTN train step (fwd + bwd +
+  two-group Adagrad, donated state, device-resident preset-sized batch) —
+  the device program of Train/temporal_transformer_shanghaitech.py:99-142.
+- ``eval_tflops`` / ``train_tflops``: FLOP-derived rates from the analytic
+  matmul count (backward ~= 2x forward); ``eval_mfu`` is vs the v5e nominal
+  bf16 peak of 197 TFLOP/s (approximate: the model runs f32-accumulate, and
+  tunnel timing has ~ms jitter).
 """
 
 import json
@@ -32,6 +42,23 @@ import sys
 import time
 
 import numpy as np
+
+
+def flops_per_part(cfg) -> float:
+    """Analytic forward FLOPs for ONE part (L = part_len*n_patch + CLS
+    tokens) through the encoder + head: qkv/out projections, attention
+    score + weighted-sum matmuls, FFN, head MLP.  2 FLOPs per MAC;
+    layernorm/softmax/bias terms are negligible and excluded."""
+    e = cfg.encoder
+    L = cfg.data.part_len * cfg.data.n_patch + 1
+    d, h, dk, dv, di = e.d_model, e.n_head, e.d_k, e.d_v, e.d_inner
+    per_layer = (2 * L * d * h * (2 * dk + dv)   # q, k, v projections
+                 + 2 * h * L * L * (dk + dv)     # scores + weighted sum
+                 + 2 * L * h * dv * d            # output projection
+                 + 2 * L * d * di * 2)           # FFN in + out
+    hid = cfg.head.hidden_dim
+    head = 2 * (d * hid + hid * 32 + 32 * 2)
+    return float(e.n_layers * per_layer + head)
 
 
 def main():
@@ -100,14 +127,49 @@ def main():
     ref_dt = time.perf_counter() - t0
     ref_rate = n_ref_parts * part_len / ref_dt
 
+    # --- train step: fwd + bwd + two-group Adagrad, donated state ---
+    from lstc_vad_tpu.train.state import create_train_state
+    from lstc_vad_tpu.train.steps import make_ltn_train_step
+
+    state, t_encoder, t_head, tx = create_train_state(cfg)
+    step_fn = make_ltn_train_step(t_encoder, t_head, cfg, tx)
+    b = cfg.data.batch_size
+    pn = cfg.data.part_num
+    fshape = (b, pn * part_len, n_patch, d)
+    norm = jax.device_put(rng.standard_normal(fshape).astype(np.float32))
+    abnorm = jax.device_put(rng.standard_normal(fshape).astype(np.float32))
+    labs = jax.device_put(rng.random((b, pn * part_len)).astype(np.float32))
+
+    state, m = step_fn(state, norm, labs, abnorm, labs)  # compile
+    float(m["loss"])
+    for _ in range(2):                                   # warm
+        state, m = step_fn(state, norm, labs, abnorm, labs)
+    float(m["loss"])
+    n_steps = 10
+    t0 = time.perf_counter()
+    for _ in range(n_steps):
+        state, m = step_fn(state, norm, labs, abnorm, labs)
+    float(m["loss"])  # host fetch forces the drain through the tunnel
+    train_dt = (time.perf_counter() - t0) / n_steps
+    train_rate = 2 * b * pn * part_len / train_dt
+
+    fpp = flops_per_part(cfg)
+    eval_tflops = (batched / part_len) * fpp / 1e12
+    train_tflops = (train_rate / part_len) * 3 * fpp / 1e12
+
     print(f"batched: {batched:.0f} snippets/s ({batched_dt*1e3:.0f} ms for "
           f"{total_snippets}) | reference-style loop: {ref_rate:.0f} "
-          f"snippets/s", file=sys.stderr)
+          f"snippets/s | train step: {train_rate:.0f} snippets/s "
+          f"({train_dt*1e3:.0f} ms/step)", file=sys.stderr)
     print(json.dumps({
         "metric": "sht_ltn_eval_snippets_per_sec",
         "value": round(batched, 1),
         "unit": "snippets/s",
         "vs_baseline": round(batched / ref_rate, 2),
+        "train_snippets_per_sec": round(train_rate, 1),
+        "eval_tflops": round(eval_tflops, 1),
+        "train_tflops": round(train_tflops, 1),
+        "eval_mfu": round(eval_tflops / 197.0, 3),
     }))
 
 
