@@ -215,7 +215,7 @@ def cmd_evaluate(args):
     if d.dataset == "UCF":
         # final-eval path (Test/evaluation_UCF.py): part_len forced to 2,
         # fixed 32 bins from n_frames//16, L2-normalized features
-        items = [(trainer._eval_feat(v.feat), v.anno,
+        items = [(trainer._lazy_feat(v), v.anno,
                   v.n_frames // d.segment_len)
                  for v in trainer.test_videos]
         if cfg.model.startswith("stn"):

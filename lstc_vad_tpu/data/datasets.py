@@ -16,7 +16,7 @@ from __future__ import annotations
 
 import dataclasses
 import os
-from typing import Dict, List, Optional, Sequence, Tuple
+from typing import Callable, Dict, List, Optional, Sequence, Tuple
 
 import numpy as np
 
@@ -166,51 +166,70 @@ class PairedTrainDataset:
 
 @dataclasses.dataclass
 class TestVideo:
+    """Lazy test-split handle: annotations + clip count are resident, the
+    feature array is fetched from the store per ``.feat`` access and is NOT
+    cached — a UCF-scale split (hundreds of hour-long videos) never holds
+    more than the video currently being scored in RAM (the reference loads
+    every test video eagerly, utils/load_dataset.py:108-132,465-509)."""
+
+    __test__ = False  # not a pytest class despite the Test* name
+
     key: str
-    feat: np.ndarray       # [n_clips, n_patch, d] (or tenCrop [n_clips,10,p,d])
     anno: np.ndarray       # per-frame 0/1
     is_abnormal: bool
     n_frames: Optional[int] = None
+    n_clips: Optional[int] = None
+    loader: Optional[Callable[[], np.ndarray]] = None
+
+    @property
+    def feat(self) -> np.ndarray:
+        """[n_clips, n_patch, d] (or tenCrop [n_clips, 10, p, d]); freshly
+        read from the store on every access."""
+        return self.loader()
 
 
 def load_test_videos(dataset: str, test_txt: str, store: FeatureStore,
                      mask_dir: str = "", mask_h5: str = "") -> List[TestVideo]:
-    """Materialize the test split with per-frame GT, per dataset format.
+    """Test split as lazy handles with per-frame GT, per dataset format.
 
-    With a tenCrop store, feats come back [n_clips, 10, n_patch, d] — the
-    tenCrop test loaders' layout (utils/load_dataset.py:338-362,731-755)."""
+    With a tenCrop store, ``.feat`` comes back [n_clips, 10, n_patch, d] —
+    the tenCrop test loaders' layout (utils/load_dataset.py:338-362,731-755)."""
+
+    def lazy(key: str) -> Callable[[], np.ndarray]:
+        return lambda: store.get(key)
+
     videos: List[TestVideo] = []
     if dataset == "SHT":
         for rec in parse_sht_test(test_txt):
-            feat = store.get(rec.key)
             if rec.is_abnormal:
                 anno = np.load(os.path.join(mask_dir, rec.key + ".npy"))
             else:
                 anno = np.zeros(rec.n_frames)
-            videos.append(TestVideo(rec.key, feat, anno, rec.is_abnormal,
-                                    rec.n_frames))
+            videos.append(TestVideo(rec.key, anno, rec.is_abnormal,
+                                    rec.n_frames, store.n_clips(rec.key),
+                                    lazy(rec.key)))
     elif dataset == "UBnormal":
         for rec in parse_ubnormal(test_txt):
-            feat = store.get(rec.key)
             # test loader keys on the "abnormal" prefix (load_dataset.py:617)
             abnormal = rec.key.split("_")[0] == "abnormal"
             if abnormal:
                 anno = np.load(os.path.join(mask_dir, rec.key + ".npy"))
             else:
                 anno = np.zeros(int(rec.n_frames))
-            videos.append(TestVideo(rec.key, feat, anno, abnormal, rec.n_frames))
+            videos.append(TestVideo(rec.key, anno, abnormal, rec.n_frames,
+                                    store.n_clips(rec.key), lazy(rec.key)))
     elif dataset == "UCF":
         import h5py
 
         with h5py.File(mask_h5, "r") as gt:
             for rec in parse_ucf_test(test_txt):
-                feat = store.get(rec.key)
                 if rec.is_abnormal:
                     anno = gt[rec.key + ".npy"][:]
                 else:
                     anno = np.zeros(rec.n_frames)
-                videos.append(TestVideo(rec.key, feat, anno, rec.is_abnormal,
-                                        rec.n_frames))
+                videos.append(TestVideo(rec.key, anno, rec.is_abnormal,
+                                        rec.n_frames, store.n_clips(rec.key),
+                                        lazy(rec.key)))
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
     return videos

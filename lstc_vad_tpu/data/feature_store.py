@@ -57,7 +57,16 @@ class FeatureStore:
         return feat
 
     def n_clips(self, key: str) -> int:
-        return self.get(key).shape[0]
+        """Clip count from h5 metadata only — no feature read (lazy test
+        split: data/datasets.py TestVideo)."""
+        feat = self._cache.get(key)
+        if feat is not None:
+            return feat.shape[0]
+        with self._lock:
+            shape = self._h5[key + ".npy"].shape
+        if self._ten_crop:
+            return int(np.prod(shape)) // (10 * self._n_patch * self._d_model)
+        return shape[0]
 
     def close(self):
         self._h5.close()

@@ -30,6 +30,13 @@ BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 _APPLY_CACHE: dict = {}
 
 
+def _resolve(feats):
+    """Accept an array OR a zero-arg callable returning one: the lazy test
+    split (data/datasets.py TestVideo.loader) streams each video's features
+    through the scorer and lets them be freed before the next video loads."""
+    return feats() if callable(feats) else feats
+
+
 def _scorer_apply(encoder, head, kind, l2, params, x):
     if l2:
         # UCF eval-only quirk: F.normalize(p=2) on the raw features
@@ -121,6 +128,7 @@ class ClipScorer:
         self.n_patch = n_patch
 
     def score_video(self, params, feats: np.ndarray) -> np.ndarray:
+        feats = _resolve(feats)
         tokens = np.ascontiguousarray(feats[:, :self.n_patch, :],
                                       dtype=np.float32)
         return self.scorer.score_tokens(params, tokens)
@@ -129,12 +137,16 @@ class ClipScorer:
                      ) -> List[np.ndarray]:
         """All clips of all videos in large batches (one device call per
         chunk instead of per video).  Streams chunk-sized buffers — never
-        materializes the whole test set's clips at once."""
+        materializes the whole test set's clips at once (lazy feats load
+        one video at a time)."""
         chunk = BUCKETS[-2]
-        lengths = [f.shape[0] for f in feats_list]
+        lengths = []
         flat_parts, buf, filled = [], None, 0
         for f in feats_list:
+            f = _resolve(f)
             t = np.ascontiguousarray(f[:, :self.n_patch, :], dtype=np.float32)
+            del f
+            lengths.append(t.shape[0])
             pos = 0
             while pos < len(t):
                 if buf is None:
@@ -171,7 +183,7 @@ class PartScorer:
 
     def score_video(self, params, feats: np.ndarray
                     ) -> Tuple[np.ndarray, np.ndarray]:
-        feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+        feats = np.ascontiguousarray(_resolve(feats)[:, :self.n_patch, :],
                                      dtype=np.float32)
         n_clips, n_patch, d = feats.shape
         idx_list, counts = part_slices(n_clips, self.part_len,
@@ -211,7 +223,7 @@ class PartScorer:
             pending.clear()
 
         for v, feats in enumerate(feats_list):
-            feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+            feats = np.ascontiguousarray(_resolve(feats)[:, :self.n_patch, :],
                                          dtype=np.float32)
             n_clips, n_patch, d = feats.shape
             idx_list, counts = part_slices(n_clips, self.part_len,
@@ -270,7 +282,7 @@ class UCFBinnedScorer:
         return scores, parts, r
 
     def _plan(self, feats: np.ndarray, n_clips: int):
-        feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+        feats = np.ascontiguousarray(_resolve(feats)[:, :self.n_patch, :],
                                      dtype=np.float32)
         bins = min(self.max_clips, n_clips) if self.adaptive_bins \
             else self.max_clips
@@ -318,7 +330,7 @@ class UCFClipBinScorer:
         self.max_clips = max_clips
 
     def score_video(self, params, feats: np.ndarray, n_clips: int):
-        feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+        feats = np.ascontiguousarray(_resolve(feats)[:, :self.n_patch, :],
                                      dtype=np.float32)
         r = ucf_bin_edges(n_clips, self.max_clips)
         bin_ids = [i for i in range(self.max_clips) if r[i] != r[i + 1]]
@@ -338,7 +350,7 @@ class UCFClipBinScorer:
         plans = []
         all_tokens = []
         for feats, n_clips in items:
-            feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
+            feats = np.ascontiguousarray(_resolve(feats)[:, :self.n_patch, :],
                                          dtype=np.float32)
             r = ucf_bin_edges(n_clips, self.max_clips)
             bin_ids = [i for i in range(self.max_clips) if r[i] != r[i + 1]]

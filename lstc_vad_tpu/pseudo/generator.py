@@ -6,9 +6,10 @@ the rest zeroed; the dict {key+'.npy': scores} is saved via np.save
 Train/pseudo_labels_generator_temporal.py:22-146).  Thresholds from the
 README pipeline: STN->LTN 0.9, LTN->STN 0.65 (README.md:27,35).
 
-TPU-native: whole videos (STN) or all parts of a video (LTN) are scored in
-one batched device call; thresholding is a jnp.where on device.  Scoring is
-identical to the reference per-clip/per-part loops (scorer parity tests).
+TPU-native: ALL train videos' clips (STN) / parts (LTN) stream through the
+cross-video batched scorers — chunk-sized device calls, one video's features
+resident at a time (lazy store fetch).  Scoring is identical to the
+reference per-clip/per-part loops (scorer parity tests).
 """
 
 from __future__ import annotations
@@ -37,11 +38,10 @@ def generate_stn_pseudo_labels(params, scorer: ClipScorer,
     whose abnormal-class probability is taken (the reference's n_layers==1
     switch, pseudo_labels_generator_spatio.py:54-61,81-84) — pick via the
     scorer's head kind."""
-    out = {}
-    for rec in records:
-        scores = scorer.score_video(params, store.get(rec.key))
-        out[rec.key + ".npy"] = _threshold(scores, threshold)
-    return out
+    lazy = [(lambda key=rec.key: store.get(key)) for rec in records]
+    per_video = scorer.score_videos(params, lazy)
+    return {rec.key + ".npy": _threshold(scores, threshold)
+            for rec, scores in zip(records, per_video)}
 
 
 def generate_ltn_pseudo_labels(params, scorer, store: FeatureStore,
@@ -56,11 +56,12 @@ def generate_ltn_pseudo_labels(params, scorer, store: FeatureStore,
     ``scorer``: PartScorer(tail_rewindow=False) for SHT/UBnormal,
     UCFBinnedScorer(l2_normalize=False, tail_rewindow=False) for UCF."""
     out = {}
-    for rec in records:
-        feat = store.get(rec.key)
-        if dataset == "UCF":
-            n_clips = rec.n_frames // segment_len
-            part_scores, parts, r = scorer.score_video(params, feat, n_clips)
+    lazy = [(lambda key=rec.key: store.get(key)) for rec in records]
+    if dataset == "UCF":
+        items = [(f, rec.n_frames // segment_len)
+                 for f, rec in zip(lazy, records)]
+        for rec, (part_scores, parts, r) in zip(
+                records, scorer.score_videos(params, items)):
             part_scores = _threshold(part_scores, threshold)
             # The reference saves BIN-resolution scores here (<=32 entries,
             # pseudo_labels_generator_temporal.py:106-107) which its own
@@ -79,8 +80,9 @@ def generate_ltn_pseudo_labels(params, scorer, store: FeatureStore,
                               np.float32)
                 clip_scores = np.concatenate([clip_scores, pad])
             out[rec.key + ".npy"] = clip_scores[:feat_len]
-            continue
-        part_scores, counts = scorer.score_video(params, feat)
+        return out
+    for rec, (part_scores, counts) in zip(
+            records, scorer.score_videos(params, lazy)):
         part_scores = _threshold(part_scores, threshold)
         out[rec.key + ".npy"] = np.repeat(part_scores, counts)
     return out

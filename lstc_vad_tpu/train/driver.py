@@ -154,20 +154,26 @@ class Trainer:
             return feat[:, crop]
         return feat
 
+    def _lazy_feat(self, v):
+        """Zero-arg feature loader: the scorers stream one video at a time
+        (evaluation/scoring.py _resolve), so the test split is never
+        materialized in RAM at once."""
+        return lambda: self._eval_feat(v.feat)
+
     def _test_items(self):
         d = self.cfg.data
         if d.dataset == "UCF":
             if self.cfg.model.startswith("stn"):
                 # STN in-training eval bins from the annotation frame count
                 # (Train/spatio_transformer_UCF.py:121-122)
-                return [(self._eval_feat(v.feat), v.anno,
+                return [(self._lazy_feat(v), v.anno,
                          v.n_frames // d.segment_len)
                         for v in self.test_videos]
             # LTN in-training eval uses the feature-array clip count
             # (Train/temporal_transformer_UCF.py:143-145)
-            return [(self._eval_feat(v.feat), v.anno, v.feat.shape[0])
+            return [(self._lazy_feat(v), v.anno, v.n_clips)
                     for v in self.test_videos]
-        return [(self._eval_feat(v.feat), v.anno) for v in self.test_videos]
+        return [(self._lazy_feat(v), v.anno) for v in self.test_videos]
 
     def _train_items(self):
         """Train-split eval: abnormal videos use the frame mask GT
@@ -179,7 +185,7 @@ class Trainer:
                              "(set eval_train_split=False)")
         items = []
         for r in self.train_records:
-            feat = self._eval_feat(self.store.get(r.key))
+            feat = (lambda key=r.key: self._eval_feat(self.store.get(key)))
             anno = None
             if r.is_abnormal:
                 anno = np.load(os.path.join(d.test_mask_dir, r.key + ".npy"),

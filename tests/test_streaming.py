@@ -1,0 +1,145 @@
+"""Streaming test-split evaluation: a UCF-scale split (many long videos)
+must never be materialized in RAM at once — the scorers pull one lazy video
+at a time through the chunk buffer (VERDICT round 1, item 5).
+
+The SyntheticStore synthesizes features on demand and counts how many
+feature arrays are alive concurrently (weakref.finalize fires on free), so
+the assertion is deterministic: at most the current video + the one being
+swapped in.
+"""
+
+import weakref
+
+import jax
+import numpy as np
+
+from lstc_vad_tpu.config import EncoderConfig
+from lstc_vad_tpu.data.datasets import TestVideo
+from lstc_vad_tpu.evaluation.drivers import (evaluate_ltn, evaluate_stn,
+                                             evaluate_ucf_ltn)
+from lstc_vad_tpu.evaluation.scoring import (ClipScorer, PartScorer,
+                                             UCFBinnedScorer)
+from lstc_vad_tpu.models import Encoder, make_head
+
+SMALL = dict(d_model=16, d_inner=24, n_head=2, d_k=8, d_v=8, n_layers=1,
+             attn_impl="xla")
+
+
+class SyntheticStore:
+    """Feature store that fabricates [n_clips, n_patch, d] arrays on demand
+    and tracks the number of concurrently-live ones."""
+
+    def __init__(self, n_clips: int, n_patch: int, d: int):
+        self._shape = (n_clips, n_patch, d)
+        self.live = 0
+        self.max_live = 0
+        self.reads = 0
+
+    def get(self, key, crop=None):
+        rng = np.random.default_rng(abs(hash(key)) % 2**32)
+        feat = rng.standard_normal(self._shape).astype(np.float32)
+        self.reads += 1
+        self.live += 1
+        self.max_live = max(self.max_live, self.live)
+        weakref.finalize(feat, self._freed)
+        return feat
+
+    def _freed(self):
+        self.live -= 1
+
+    def n_clips(self, key):
+        return self._shape[0]
+
+
+def _videos(store, n_videos, n_clips, segment_len=16):
+    out = []
+    for i in range(n_videos):
+        key = f"v{i:03d}"
+        anno = np.zeros(n_clips * segment_len)
+        if i % 2:
+            anno[::7] = 1.0
+        out.append(TestVideo(key, anno, bool(i % 2), n_clips * segment_len,
+                             n_clips, (lambda k=key: store.get(k))))
+    return out
+
+
+def _ltn_model():
+    cfg = EncoderConfig(relative_pe=True, window_size=2, window_depth=3,
+                        mha_layernorm=True, ffn_layernorm=True, **SMALL)
+    enc = Encoder(cfg)
+    head = make_head("classifier", 16, 8)
+    params = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 12, 16), np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, 16), np.float32))["params"]}
+    return enc, head, params
+
+
+def test_ltn_eval_streams_one_video_at_a_time():
+    # 40 videos x 600 clips: eager materialization would hold 40 arrays
+    store = SyntheticStore(n_clips=600, n_patch=4, d=16)
+    videos = _videos(store, n_videos=40, n_clips=600)
+    enc, head, params = _ltn_model()
+    scorer = PartScorer(enc, head, part_len=3, n_patch=4)
+    items = [(v.loader, v.anno) for v in videos]
+    auc = evaluate_ltn(params, scorer, items)
+    assert 0.0 <= auc <= 1.0
+    assert store.reads == 40
+    assert store.max_live <= 3, (
+        f"{store.max_live} feature arrays alive at once — test split "
+        "materialized instead of streamed")
+
+
+def test_stn_eval_streams_one_video_at_a_time():
+    store = SyntheticStore(n_clips=600, n_patch=4, d=16)
+    videos = _videos(store, n_videos=40, n_clips=600)
+    cfg = EncoderConfig(ffn_layernorm=True, **SMALL)
+    enc = Encoder(cfg)
+    head = make_head("regressor", 16, 8)
+    params = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 4, 16), np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, 16), np.float32))["params"]}
+    scorer = ClipScorer(enc, head, n_patch=4)
+    items = [(v.loader, v.anno) for v in videos]
+    auc = evaluate_stn(params, scorer, items)
+    assert 0.0 <= auc <= 1.0
+    assert store.max_live <= 3
+
+
+def test_ucf_ltn_eval_streams_one_video_at_a_time():
+    # UCF-scale: 30 hour-scale videos; only the <=32-bin pooled form is kept
+    store = SyntheticStore(n_clips=2000, n_patch=4, d=16)
+    videos = _videos(store, n_videos=30, n_clips=2000)
+    enc, head, params = _ltn_model()
+    scorer = UCFBinnedScorer(enc, head, part_len=3, n_patch=4, max_clips=8,
+                             l2_normalize=True, tail_rewindow=True)
+    items = [(v.loader, v.anno, v.n_clips) for v in videos]
+    auc = evaluate_ucf_ltn(params, scorer, items)
+    assert 0.0 <= auc <= 1.0
+    assert store.max_live <= 3
+
+
+def test_trainer_test_items_are_lazy(tmp_path):
+    """Trainer._test_items must hand the scorers zero-arg loaders, not
+    arrays (the driver-side half of the streaming contract)."""
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.config import preset, replace
+    from lstc_vad_tpu.train.driver import Trainer
+
+    h5, train_txt, test_txt, mask_dir = make_sht_like(str(tmp_path),
+                                                      n_patch=3, d_model=16)
+    cfg = preset("sht_ltn", **{
+        "encoder.d_model": 16, "encoder.d_inner": 24, "encoder.n_head": 2,
+        "encoder.d_k": 8, "encoder.d_v": 8, "encoder.n_layers": 1,
+        "encoder.window_size": 2, "head.d_model": 16, "head.hidden_dim": 8,
+        "data.h5_path": h5, "data.test_txt": test_txt,
+        "data.test_mask_dir": mask_dir, "data.n_patch": 3,
+        "data.d_model": 16})
+    trainer = Trainer(cfg, eval_only=True)
+    items = trainer._test_items()
+    assert items and all(callable(f) for f, _ in items)
+    feat = items[0][0]()
+    assert feat.ndim == 3
