@@ -22,33 +22,81 @@ from __future__ import annotations
 import argparse
 import dataclasses
 import sys
+import typing
 
 from ..config import PRESETS, TrainConfig, preset, replace
 from ..utils.logging import get_logger, log_config
 
 
+def _valid_paths(cfg) -> list:
+    out = []
+
+    def walk(node, prefix):
+        for f in dataclasses.fields(node):
+            val = getattr(node, f.name)
+            if dataclasses.is_dataclass(val):
+                walk(val, f"{prefix}{f.name}.")
+            else:
+                out.append(f"{prefix}{f.name}")
+
+    walk(cfg, "")
+    return out
+
+
+def _parse_typed(raw: str, t, path: str):
+    origin = typing.get_origin(t)
+    if origin is typing.Union:  # Optional[...]
+        if raw == "None":
+            return None
+        inner = [a for a in typing.get_args(t) if a is not type(None)]
+        return _parse_typed(raw, inner[0], path)
+    if t is bool:
+        low = raw.lower()
+        if low in ("1", "true", "yes", "on"):
+            return True
+        if low in ("0", "false", "no", "off"):
+            return False
+        raise SystemExit(f"--set {path}: expected a bool, got {raw!r}")
+    if t in (int, float):
+        try:
+            return t(raw)
+        except ValueError:
+            raise SystemExit(f"--set {path}: expected {t.__name__}, "
+                             f"got {raw!r}") from None
+    if t is str:
+        return raw
+    if origin is tuple:
+        args = typing.get_args(t)
+        items = [s for s in raw.strip("()[] ").replace(",", " ").split() if s]
+        if len(args) == 2 and args[1] is Ellipsis:
+            elem_types = [args[0]] * len(items)
+        else:
+            if len(items) != len(args):
+                raise SystemExit(f"--set {path}: expected {len(args)} "
+                                 f"tuple elements, got {len(items)}")
+            elem_types = args
+        return tuple(_parse_typed(s, et, path)
+                     for s, et in zip(items, elem_types))
+    raise SystemExit(f"--set {path}: unsupported field type {t}")
+
+
 def _coerce(cfg, path: str, raw: str):
+    """Parse ``raw`` against the dataclass field's resolved annotation.
+    Unknown paths fail at parse time with the full list of valid ones —
+    not as a confusing downstream error (cf. the ~60-flag argparse surface
+    this replaces, Train/temporal_transformer_shanghaitech.py:257-323)."""
     node = cfg
     parts = path.split(".")
-    for p in parts[:-1]:
-        node = getattr(node, p)
-    field = {f.name: f for f in dataclasses.fields(node)}[parts[-1]]
-    t = str(field.type)
-    current = getattr(node, parts[-1])
-    if isinstance(current, bool) or t == "bool":
-        return raw.lower() in ("1", "true", "yes", "on")
-    if raw == "None":
-        return None
-    if isinstance(current, int) and not isinstance(current, bool):
-        return int(raw)
-    if isinstance(current, float):
-        return float(raw)
-    if current is None:  # Optional fields: fall back to the annotation
-        if "int" in t:
-            return int(raw)
-        if "float" in t:
-            return float(raw)
-    return raw
+    try:
+        for p in parts[:-1]:
+            node = getattr(node, p)
+        hints = typing.get_type_hints(type(node))
+        t = hints[parts[-1]]
+    except (AttributeError, KeyError, TypeError):
+        raise SystemExit(
+            f"--set: unknown config path {path!r}.\nValid paths: "
+            + ", ".join(_valid_paths(cfg))) from None
+    return _parse_typed(raw, t, path)
 
 
 def _apply_common(cfg: TrainConfig, args) -> TrainConfig:
@@ -203,15 +251,56 @@ def cmd_evaluate(args):
         # (Test/evaluation_UCF.py:33,42 + README command --part_len 2), so
         # the relative-PE window and ckpt table shapes follow part_len=2
         cfg = replace(cfg, **{"encoder.window_depth": 2, "data.part_len": 2})
-    from ..evaluation.drivers import (evaluate_ltn, evaluate_stn,
-                                     evaluate_ucf_ltn, evaluate_ucf_stn)
+    from ..evaluation.drivers import (evaluate_ltn, evaluate_multicrop_mean,
+                                      evaluate_stn, evaluate_ucf_ltn,
+                                      evaluate_ucf_stn)
     from ..evaluation.scoring import UCFBinnedScorer
     from ..train.driver import Trainer
 
+    if args.eval_crop and args.eval_crop != "mean":
+        cfg = replace(cfg, **{"data.eval_crop": int(args.eval_crop)})
     trainer = Trainer(cfg, eval_only=True)
     trainer = _load_params(args, trainer)
     params = trainer.state.params
     d = cfg.data
+    if args.per_class:
+        # per-anomaly-class table (reference eval_utils.py:97-122): UCF LTN
+        # final-eval scorer, one row per class + the Normal FAR
+        if d.dataset != "UCF" or cfg.model.startswith("stn"):
+            raise SystemExit("--per-class is the UCF per-anomaly-class "
+                             "breakdown (LTN presets)")
+        from ..data.annotations import parse_ucf_test
+        from ..evaluation.drivers import evaluate_ucf_per_class
+
+        classes = [r.class_name for r in parse_ucf_test(d.test_txt)]
+        items = [(trainer._lazy_feat(v), v.anno, v.n_frames // d.segment_len)
+                 for v in trainer.test_videos]
+        scorer = UCFBinnedScorer(trainer.encoder, trainer.head, part_len=2,
+                                 n_patch=d.n_patch, max_clips=cfg.max_clips,
+                                 l2_normalize=True, tail_rewindow=True)
+        far, mean_ap = evaluate_ucf_per_class(
+            params, scorer, items, classes, d.segment_len,
+            n_anomaly_classes=args.n_anomaly_classes)
+        print(f"Normal FAR {far:.4f}, mean PR-AUC {mean_ap:.4f}")
+        return 0
+    if args.eval_crop == "mean":
+        # 10-crop averaged eval over the tenCrop test loaders
+        if not d.ten_crop:
+            raise SystemExit("--eval-crop mean needs a tenCrop store "
+                             "(--set data.ten_crop=true)")
+        if d.dataset == "UCF":
+            raise SystemExit("tenCrop test loaders exist for SHT/UBnormal "
+                             "only (utils/load_dataset.py:338-362,731-755)")
+
+        def items_for_crop(c):
+            return [((lambda v=v, c=c: v.feat[:, c]), v.anno)
+                    for v in trainer.test_videos]
+
+        fn = evaluate_stn if cfg.model.startswith("stn") else evaluate_ltn
+        auc = evaluate_multicrop_mean(fn, params, trainer.scorer,
+                                      items_for_crop, d.segment_len)
+        print(f"auc = {auc}")
+        return 0
     if d.dataset == "UCF":
         # final-eval path (Test/evaluation_UCF.py): part_len forced to 2,
         # fixed 32 bins from n_frames//16, L2-normalized features
@@ -310,6 +399,14 @@ def main(argv=None):
     _add_common(p)
     p.add_argument("--dump-scores", dest="dump_scores",
                    help="write per-video frame scores to this .npz")
+    p.add_argument("--per-class", dest="per_class", action="store_true",
+                   help="UCF: per-anomaly-class AUC/PR-AUC/FAR table")
+    p.add_argument("--n-anomaly-classes", dest="n_anomaly_classes", type=int,
+                   default=13, help="anomaly class count for the mean PR-AUC "
+                                    "(UCF-Crime: 13)")
+    p.add_argument("--eval-crop", dest="eval_crop",
+                   help="tenCrop stores: crop index 0-9, or 'mean' for the "
+                        "10-crop averaged eval")
     p.add_argument("--ckpt", help="Orbax params directory (encoder+head)")
     p.add_argument("--encoder-ckpt", dest="encoder_ckpt")
     p.add_argument("--head-ckpt", dest="head_ckpt")

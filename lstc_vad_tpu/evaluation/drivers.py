@@ -69,6 +69,36 @@ def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
     return _result(all_scores, all_labels, return_scores)
 
 
+def evaluate_multicrop_mean(eval_fn, params, scorer, items_for_crop,
+                            segment_len: int = 16, n_crops: int = 10) -> float:
+    """10-crop averaged evaluation: per-video frame scores averaged over the
+    crops, then one frame AUC.  The reference ships tenCrop TEST loaders
+    (utils/load_dataset.py:338-362,731-755) but no eval script; this is the
+    standard averaged-crop semantics, opt-in via the CLI's --eval-crop mean.
+
+    ``eval_fn``: evaluate_stn or evaluate_ltn.  ``items_for_crop(c)`` yields
+    that crop's (feats, anno) items (feats may be lazy loaders)."""
+    score_sum, annos = None, None
+    for crop in range(n_crops):
+        items = list(items_for_crop(crop))
+        _, scores = eval_fn(params, scorer, items, segment_len,
+                            return_scores=True)
+        if score_sum is None:
+            score_sum = [np.asarray(s, np.float64) for s in scores]
+            annos = [anno for _, anno in items]
+        else:
+            score_sum = [a + np.asarray(s, np.float64)
+                         for a, s in zip(score_sum, scores)]
+    all_scores, all_labels = [], []
+    for s, anno in zip(score_sum, annos):
+        s = s / n_crops
+        lab = (np.zeros(len(s)) if anno is None
+               else np.asarray(anno[:len(s)], dtype=np.float64))
+        all_scores.append(s[:len(lab)])
+        all_labels.append(lab)
+    return _concat_auc(all_scores, all_labels)
+
+
 def evaluate_ucf_ltn(params, scorer: UCFBinnedScorer,
                      items: Iterable[Tuple[np.ndarray, np.ndarray, int]],
                      segment_len: int = 16, return_scores: bool = False):

@@ -151,3 +151,88 @@ def test_cli_evaluate_dump_scores(tmp_path, capsys):
     assert len(data.files) == 7
     for key in data.files:
         assert data[key].ndim == 1 and len(data[key]) > 0
+
+
+def test_cli_coerce_rejects_unknown_path_and_bad_type():
+    import pytest
+    from lstc_vad_tpu.cli.main import _coerce
+    from lstc_vad_tpu.config import preset
+
+    cfg = preset("sht_stn")
+    with pytest.raises(SystemExit, match="unknown config path"):
+        _coerce(cfg, "data.no_such_field", "1")
+    with pytest.raises(SystemExit, match="Valid paths.*data.h5_path"):
+        _coerce(cfg, "optim.lr_encodr", "3e-4")  # typo'd path lists valid ones
+    with pytest.raises(SystemExit, match="unknown config path"):
+        _coerce(cfg, "model.nested", "x")  # str field has no children
+    with pytest.raises(SystemExit, match="expected int"):
+        _coerce(cfg, "encoder.n_layers", "two")
+    with pytest.raises(SystemExit, match="expected float"):
+        _coerce(cfg, "optim.lr_encoder", "fast")
+    with pytest.raises(SystemExit, match="expected a bool"):
+        _coerce(cfg, "optim.clip_grad", "maybe")
+
+
+def test_cli_coerce_annotation_driven():
+    from lstc_vad_tpu.cli.main import _coerce, _parse_typed
+    from lstc_vad_tpu.config import preset
+    from typing import Optional, Tuple
+
+    cfg = preset("sht_stn")
+    # Optional[str] stays a string; "None" clears it
+    assert _coerce(cfg, "data.pseudo_labels_path", "None") is None
+    assert _coerce(cfg, "data.pseudo_labels_path", "123") == "123"
+    # bool accepts the negative spellings too
+    assert _coerce(cfg, "optim.clip_grad", "off") is False
+    # tuple parsing (no tuple config fields today; the parser supports them)
+    assert _parse_typed("1,2", Tuple[int, int], "x") == (1, 2)
+    assert _parse_typed("(0.5, 1.5, 2.5)", Tuple[float, ...], "x") == \
+        (0.5, 1.5, 2.5)
+    assert _parse_typed("None", Optional[int], "x") is None
+
+
+def test_cli_evaluate_eval_crop_mean(tmp_path, capsys):
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30), ten_crop=True)
+    common = _common(fixture)
+    rc = main(["evaluate", "--preset", "sht_ltn", "--eval-crop", "mean",
+               "--set", "data.ten_crop=true"] + common)
+    assert rc == 0
+    out = capsys.readouterr().out
+    auc_mean = float(out.strip().split("auc = ")[-1])
+    assert 0.0 <= auc_mean <= 1.0
+
+    # single-crop eval through the same flag takes the int path
+    rc = main(["evaluate", "--preset", "sht_ltn", "--eval-crop", "2",
+               "--set", "data.ten_crop=true"] + common)
+    assert rc == 0
+    auc_crop2 = float(capsys.readouterr().out.strip().split("auc = ")[-1])
+    assert 0.0 <= auc_crop2 <= 1.0
+    assert auc_mean != auc_crop2  # averaging actually changed the scores
+
+
+def test_cli_evaluate_per_class_ucf(tmp_path, capsys):
+    from fixtures import make_ucf_like
+    h5, train_txt, test_txt, gt_h5 = make_ucf_like(str(tmp_path), n_patch=3,
+                                                   d_model=16)
+    rc = main(["evaluate", "--preset", "ucf_ltn", "--per-class",
+               "--n-anomaly-classes", "1",
+               "--h5", h5, "--train-txt", train_txt, "--test-txt", test_txt,
+               "--mask-h5", gt_h5,
+               "--set", "encoder.d_model=16", "--set", "encoder.d_inner=32",
+               "--set", "encoder.n_head=2", "--set", "encoder.d_k=8",
+               "--set", "encoder.d_v=8", "--set", "encoder.n_layers=1",
+               "--set", "encoder.attn_impl=xla", "--set", "head.d_model=16",
+               "--set", "head.hidden_dim=8", "--set", "data.n_patch=3",
+               "--set", "data.d_model=16", "--set", "max_clips=8"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "Normal FAR" in out and "mean PR-AUC" in out
+
+
+def test_cli_per_class_rejected_for_stn(tmp_path):
+    import pytest
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16)
+    with pytest.raises(SystemExit, match="per-anomaly-class"):
+        main(["evaluate", "--preset", "sht_stn", "--per-class"]
+             + _common(fixture))
