@@ -62,27 +62,52 @@ class StreamingScorer:
         buf.append(clip)
 
     def end_stream(self, stream_id: str) -> List[float]:
-        """Finish a stream: any buffered clips are scored as full part_len
-        parts, plus one final SHORT part at its true length — matching the
-        offline no-re-window tail semantics (the relative-PE index slices to
-        the shorter sequence, models/MultiHeadAttention.py:108).  Returns the
-        emitted scores, [] if the buffer was empty."""
-        buf = self._buffers.pop(stream_id, None)
-        if not buf:
-            return []
-        scores: List[float] = []
-        for start in range(0, len(buf) - len(buf) % self.part_len,
-                           self.part_len):
-            tokens = np.concatenate(buf[start:start + self.part_len],
-                                    axis=0)[None]
-            scores.append(float(np.asarray(
-                self._apply(self.params, tokens))[0]))
-        tail = len(buf) % self.part_len
-        if tail:
-            tokens = np.concatenate(buf[len(buf) - tail:], axis=0)[None]
-            scores.append(float(np.asarray(
-                self._apply(self.params, tokens))[0]))
-        return scores
+        """Finish one stream; see end_streams."""
+        return self.end_streams([stream_id])[stream_id]
+
+    def end_streams(self, stream_ids) -> Dict[str, List[float]]:
+        """Finish MANY streams with batched device calls: every buffered
+        full part_len part rides the SAME padded [max_streams, L, d] program
+        the flush path compiled (no per-part dispatch, no new shapes); short
+        tails are scored at their true length — the offline no-re-window
+        semantics (the relative-PE index slices to the shorter sequence,
+        models/MultiHeadAttention.py:108) — grouped by length so each
+        distinct tail length costs one program, not one call per stream.
+        Returns {stream_id: scores in push order} ([] for empty buffers)."""
+        out: Dict[str, List[float]] = {}
+        full_parts: List[Tuple[str, np.ndarray]] = []
+        tails: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+        for sid in stream_ids:
+            buf = self._buffers.pop(sid, None)
+            out[sid] = []
+            if not buf:
+                continue
+            n_full = len(buf) - len(buf) % self.part_len
+            for start in range(0, n_full, self.part_len):
+                full_parts.append((sid, np.concatenate(
+                    buf[start:start + self.part_len], axis=0)))
+            if len(buf) > n_full:
+                tails.setdefault(len(buf) - n_full, []).append(
+                    (sid, np.concatenate(buf[n_full:], axis=0)))
+
+        def score_groups(entries, tok_len):
+            for start in range(0, len(entries), self.max_streams):
+                group = entries[start:start + self.max_streams]
+                tokens = np.zeros((self.max_streams, tok_len, self.d_model),
+                                  np.float32)
+                for i, (_, tok) in enumerate(group):
+                    tokens[i] = tok
+                scores = np.asarray(
+                    self._apply(self.params, tokens))[:len(group)]
+                for (sid, _), s in zip(group, scores):
+                    out[sid].append(float(s))
+
+        # full parts first (per-stream push order is preserved within the
+        # ordered full_parts list), then each stream's single tail
+        score_groups(full_parts, self.part_len * self.n_patch)
+        for tail_len, entries in sorted(tails.items()):
+            score_groups(entries, tail_len * self.n_patch)
+        return out
 
     def ready(self) -> List[str]:
         return [sid for sid, buf in self._buffers.items()

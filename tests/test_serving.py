@@ -104,3 +104,36 @@ def test_end_stream_with_multiple_buffered_parts(model, rng):
     offline = PartScorer(enc, head, part_len, n_patch, tail_rewindow=False)
     expected, _ = offline.score_video(params, video)
     np.testing.assert_allclose(scores, expected, atol=1e-5)
+
+
+def test_end_streams_batched_calls(model, rng):
+    """Ending many streams costs one padded call per max_streams group of
+    full parts + one per distinct tail length — never one per part."""
+    enc, head, params = model
+    part_len, n_patch, d = 3, 4, 16
+    scorer = StreamingScorer(enc, head, params, part_len, n_patch, d,
+                             max_streams=16)
+    calls = []
+    inner = scorer._apply
+    scorer._apply = lambda p, t: (calls.append(t.shape), inner(p, t))[1]
+
+    # 6 streams: lengths 7,7,8,5,3,4 -> 8 full parts; tails of 1 clip (x2),
+    # 2 clips (x3)
+    lengths = {"a": 7, "b": 7, "c": 8, "d": 5, "e": 3, "f": 4}
+    videos = {sid: rng.standard_normal((n, n_patch, d)).astype(np.float32)
+              for sid, n in lengths.items()}
+    for sid, v in videos.items():
+        for clip in v:
+            scorer.push(sid, clip)
+    out = scorer.end_streams(list(videos))
+
+    # one call for all 8 full parts, one for the 1-clip tails, one for the
+    # 2-clip tails
+    assert len(calls) == 3, calls
+    assert calls[0] == (16, part_len * n_patch, d)
+    assert sorted(c[1] for c in calls[1:]) == [1 * n_patch, 2 * n_patch]
+
+    offline = PartScorer(enc, head, part_len, n_patch, tail_rewindow=False)
+    for sid, v in videos.items():
+        expected, _ = offline.score_video(params, v)
+        np.testing.assert_allclose(out[sid], expected, atol=1e-5)
