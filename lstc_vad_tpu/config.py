@@ -50,6 +50,11 @@ class EncoderConfig:
     attn_impl: str = "auto"        # "auto" | "xla" | "pallas"
     compute_dtype: str = "float32" # "float32" | "bfloat16" (matmuls/activations;
                                    # params, layernorm + softmax stay f32)
+    remat: bool = False            # jax.checkpoint each encoder layer: the
+                                   # backward recomputes activations instead
+                                   # of keeping them in HBM (exact math,
+                                   # ~1 extra forward of FLOPs) — enables
+                                   # ~2x larger train batches
 
     @property
     def rpe_num_tokens(self) -> int:

@@ -203,10 +203,20 @@ class Encoder(nn.Module):
                 x, deterministic=deterministic)
 
         probs_all, v_all = [], []
+        # remat (jax.checkpoint): drop each layer's activations after the
+        # forward and recompute them in the backward — identical math, HBM
+        # for activations goes from O(n_layers) to O(1).  Diagnostic outputs
+        # keep the plain path (their point is to retain the intermediates).
+        use_remat = c.remat and not (return_probs or return_v)
         for i in range(c.n_layers):
-            x = EncoderLayer(c, name=f"layer_{i}")(
-                x, mask, deterministic=deterministic,
-                return_probs=return_probs, return_v=return_v)
+            layer = EncoderLayer(c, name=f"layer_{i}")
+            if use_remat:
+                x = nn.remat(
+                    lambda mdl, y, m: mdl(y, m, deterministic=deterministic)
+                )(layer, x, mask)
+                continue
+            x = layer(x, mask, deterministic=deterministic,
+                      return_probs=return_probs, return_v=return_v)
             if return_v:
                 x, probs, v = x
                 probs_all.append(probs)

@@ -157,3 +157,35 @@ def test_return_probs_and_v(rng):
     assert len(vs) == cfg.n_layers
     assert vs[0].shape == (2, 4, 9, 16)
     np.testing.assert_allclose(np.asarray(out), np.asarray(out2), rtol=1e-6)
+
+
+def test_remat_bit_identical_to_plain():
+    """encoder.remat recomputes activations in the backward (jax.checkpoint
+    per layer): loss AND gradients must be bit-identical to the plain path,
+    with dropout active too (flax threads the same rngs through the remat)."""
+    import jax.numpy as jnp
+    from lstc_vad_tpu.config import EncoderConfig
+    from lstc_vad_tpu.models import Encoder
+
+    kw = dict(d_model=16, d_inner=32, n_head=2, d_k=8, d_v=8, n_layers=2,
+              attn_impl="xla", mha_layernorm=True, ffn_layernorm=True,
+              relative_pe=True, window_size=4, window_depth=3)
+    enc = Encoder(EncoderConfig(**kw))
+    enc_r = Encoder(EncoderConfig(remat=True, **kw))
+    x = np.random.default_rng(0).standard_normal((4, 12, 16)).astype(np.float32)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+
+    def loss(p, module, det):
+        rngs = None if det else {"dropout": jax.random.PRNGKey(7)}
+        h = module.apply({"params": p}, x, deterministic=det, rngs=rngs)
+        return jnp.sum(h ** 2)
+
+    for det in (True, False):
+        l0, g0 = jax.value_and_grad(loss)(params, enc, det)
+        l1, g1 = jax.value_and_grad(loss)(params, enc_r, det)
+        assert float(l0) == float(l1)
+        jax.tree.map(lambda a, b: np.testing.assert_array_equal(a, b), g0, g1)
+    # diagnostic outputs bypass remat and still work
+    _, probs = enc_r.apply({"params": params}, x, deterministic=True,
+                           return_probs=True)
+    assert len(probs) == 2
