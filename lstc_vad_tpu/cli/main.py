@@ -44,8 +44,11 @@ def _valid_paths(cfg) -> list:
 
 
 def _parse_typed(raw: str, t, path: str):
+    import types
+
     origin = typing.get_origin(t)
-    if origin is typing.Union:  # Optional[...]
+    # Optional[...] — both typing.Union and PEP 604 `X | None` spellings
+    if origin is typing.Union or origin is getattr(types, "UnionType", None):
         if raw == "None":
             return None
         inner = [a for a in typing.get_args(t) if a is not type(None)]
@@ -258,14 +261,33 @@ def cmd_evaluate(args):
     from ..train.driver import Trainer
 
     if args.eval_crop and args.eval_crop != "mean":
-        cfg = replace(cfg, **{"data.eval_crop": int(args.eval_crop)})
+        try:
+            crop = int(args.eval_crop)
+        except ValueError:
+            raise SystemExit(f"--eval-crop must be 0-9 or 'mean', got "
+                             f"{args.eval_crop!r}") from None
+        if not 0 <= crop <= 9:
+            raise SystemExit(f"--eval-crop index out of range 0-9: {crop}")
+        cfg = replace(cfg, **{"data.eval_crop": crop})
+    if args.dump_scores and (args.per_class or args.eval_crop == "mean"):
+        raise SystemExit("--dump-scores exports the standard per-video eval "
+                         "scores; it cannot be combined with --per-class or "
+                         "--eval-crop mean")
     trainer = Trainer(cfg, eval_only=True)
     trainer = _load_params(args, trainer)
     params = trainer.state.params
     d = cfg.data
+
+    def ucf_final_scorer():
+        # final-eval flags (Test/evaluation_UCF.py): part_len 2, fixed 32
+        # bins from n_frames//16, L2-normalized features — shared by the
+        # headline AUC and the per-class table
+        return UCFBinnedScorer(trainer.encoder, trainer.head, part_len=2,
+                               n_patch=d.n_patch, max_clips=cfg.max_clips,
+                               l2_normalize=True, tail_rewindow=True)
+
     if args.per_class:
-        # per-anomaly-class table (reference eval_utils.py:97-122): UCF LTN
-        # final-eval scorer, one row per class + the Normal FAR
+        # per-anomaly-class table (reference eval_utils.py:97-122)
         if d.dataset != "UCF" or cfg.model.startswith("stn"):
             raise SystemExit("--per-class is the UCF per-anomaly-class "
                              "breakdown (LTN presets)")
@@ -275,11 +297,8 @@ def cmd_evaluate(args):
         classes = [r.class_name for r in parse_ucf_test(d.test_txt)]
         items = [(trainer._lazy_feat(v), v.anno, v.n_frames // d.segment_len)
                  for v in trainer.test_videos]
-        scorer = UCFBinnedScorer(trainer.encoder, trainer.head, part_len=2,
-                                 n_patch=d.n_patch, max_clips=cfg.max_clips,
-                                 l2_normalize=True, tail_rewindow=True)
         far, mean_ap = evaluate_ucf_per_class(
-            params, scorer, items, classes, d.segment_len,
+            params, ucf_final_scorer(), items, classes, d.segment_len,
             n_anomaly_classes=args.n_anomaly_classes)
         print(f"Normal FAR {far:.4f}, mean PR-AUC {mean_ap:.4f}")
         return 0
@@ -291,6 +310,11 @@ def cmd_evaluate(args):
         if d.dataset == "UCF":
             raise SystemExit("tenCrop test loaders exist for SHT/UBnormal "
                              "only (utils/load_dataset.py:338-362,731-755)")
+        # the crop loop reads each video 10x through the lazy handles;
+        # memoize so the whole 10-crop array is read once per video (the
+        # reference tenCrop loaders were eager anyway)
+        for v in trainer.test_videos:
+            v.cache = True
 
         def items_for_crop(c):
             return [((lambda v=v, c=c: v.feat[:, c]), v.anno)
@@ -302,8 +326,6 @@ def cmd_evaluate(args):
         print(f"auc = {auc}")
         return 0
     if d.dataset == "UCF":
-        # final-eval path (Test/evaluation_UCF.py): part_len forced to 2,
-        # fixed 32 bins from n_frames//16, L2-normalized features
         items = [(trainer._lazy_feat(v), v.anno,
                   v.n_frames // d.segment_len)
                  for v in trainer.test_videos]
@@ -313,11 +335,8 @@ def cmd_evaluate(args):
                                       d.segment_len,
                                       return_scores=bool(args.dump_scores))
         else:
-            scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
-                                     part_len=2, n_patch=d.n_patch,
-                                     max_clips=cfg.max_clips,
-                                     l2_normalize=True, tail_rewindow=True)
-            result = evaluate_ucf_ltn(params, scorer, items, d.segment_len,
+            result = evaluate_ucf_ltn(params, ucf_final_scorer(), items,
+                                      d.segment_len,
                                       return_scores=bool(args.dump_scores))
     else:
         # SHT/UBnormal final eval == the in-training eval semantics; reuse

@@ -167,10 +167,16 @@ class PairedTrainDataset:
 @dataclasses.dataclass
 class TestVideo:
     """Lazy test-split handle: annotations + clip count are resident, the
-    feature array is fetched from the store per ``.feat`` access and is NOT
-    cached — a UCF-scale split (hundreds of hour-long videos) never holds
-    more than the video currently being scored in RAM (the reference loads
-    every test video eagerly, utils/load_dataset.py:108-132,465-509)."""
+    feature array is fetched from the store per ``.feat`` access — a
+    UCF-scale split (hundreds of hour-long videos) never holds more than the
+    video currently being scored in RAM (the reference loads every test
+    video eagerly, utils/load_dataset.py:108-132,465-509).
+
+    ``cache=True`` memoizes the first fetch instead (the reference's eager
+    residency, deferred): used when the split fits in RAM and is evaluated
+    repeatedly, e.g. in-training eval every inter_epoch epochs with
+    data.eager=True — re-reading the h5 ~1800 times would regress the
+    one-core host."""
 
     __test__ = False  # not a pytest class despite the Test* name
 
@@ -180,17 +186,28 @@ class TestVideo:
     n_frames: Optional[int] = None
     n_clips: Optional[int] = None
     loader: Optional[Callable[[], np.ndarray]] = None
+    cache: bool = False
+    _feat: Optional[np.ndarray] = dataclasses.field(
+        default=None, repr=False, compare=False)
 
     @property
     def feat(self) -> np.ndarray:
-        """[n_clips, n_patch, d] (or tenCrop [n_clips, 10, p, d]); freshly
-        read from the store on every access."""
-        return self.loader()
+        """[n_clips, n_patch, d] (or tenCrop [n_clips, 10, p, d]); read from
+        the store per access, memoized when ``cache``."""
+        if self._feat is not None:
+            return self._feat
+        f = self.loader()
+        if self.cache:
+            self._feat = f
+        return f
 
 
 def load_test_videos(dataset: str, test_txt: str, store: FeatureStore,
-                     mask_dir: str = "", mask_h5: str = "") -> List[TestVideo]:
+                     mask_dir: str = "", mask_h5: str = "",
+                     cache: bool = False) -> List[TestVideo]:
     """Test split as lazy handles with per-frame GT, per dataset format.
+    ``cache=True`` memoizes each video's features on first access (see
+    TestVideo).
 
     With a tenCrop store, ``.feat`` comes back [n_clips, 10, n_patch, d] —
     the tenCrop test loaders' layout (utils/load_dataset.py:338-362,731-755)."""
@@ -207,7 +224,7 @@ def load_test_videos(dataset: str, test_txt: str, store: FeatureStore,
                 anno = np.zeros(rec.n_frames)
             videos.append(TestVideo(rec.key, anno, rec.is_abnormal,
                                     rec.n_frames, store.n_clips(rec.key),
-                                    lazy(rec.key)))
+                                    lazy(rec.key), cache))
     elif dataset == "UBnormal":
         for rec in parse_ubnormal(test_txt):
             # test loader keys on the "abnormal" prefix (load_dataset.py:617)
@@ -217,7 +234,8 @@ def load_test_videos(dataset: str, test_txt: str, store: FeatureStore,
             else:
                 anno = np.zeros(int(rec.n_frames))
             videos.append(TestVideo(rec.key, anno, abnormal, rec.n_frames,
-                                    store.n_clips(rec.key), lazy(rec.key)))
+                                    store.n_clips(rec.key), lazy(rec.key),
+                                    cache))
     elif dataset == "UCF":
         import h5py
 
@@ -229,7 +247,7 @@ def load_test_videos(dataset: str, test_txt: str, store: FeatureStore,
                     anno = np.zeros(rec.n_frames)
                 videos.append(TestVideo(rec.key, anno, rec.is_abnormal,
                                         rec.n_frames, store.n_clips(rec.key),
-                                        lazy(rec.key)))
+                                        lazy(rec.key), cache))
     else:
         raise ValueError(f"unknown dataset {dataset!r}")
     return videos

@@ -89,9 +89,13 @@ class Trainer:
                 crop_per_video=(d.dataset == "UCF"), seed=d.seed)
         self.train_records = records
 
+        # in-training eval re-scores the split every inter_epoch epochs:
+        # with data.eager (SHT/UBnormal presets) memoize features after the
+        # first read; UCF (eager=False) and one-shot eval_only runs stream
         self.test_videos = load_test_videos(
             d.dataset, d.test_txt, self.store, mask_dir=d.test_mask_dir,
-            mask_h5=d.test_mask_h5) if d.test_txt else []
+            mask_h5=d.test_mask_h5,
+            cache=d.eager and not eval_only) if d.test_txt else []
 
         self.state, self.encoder, self.head, self.tx = create_train_state(cfg)
         if mesh is not None:

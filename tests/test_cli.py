@@ -236,3 +236,25 @@ def test_cli_per_class_rejected_for_stn(tmp_path):
     with pytest.raises(SystemExit, match="per-anomaly-class"):
         main(["evaluate", "--preset", "sht_stn", "--per-class"]
              + _common(fixture))
+
+
+def test_cli_eval_crop_validation_and_dump_scores_conflict(tmp_path):
+    import pytest
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            ten_crop=True)
+    common = _common(fixture) + ["--set", "data.ten_crop=true"]
+    with pytest.raises(SystemExit, match="0-9 or 'mean'"):
+        main(["evaluate", "--preset", "sht_ltn", "--eval-crop", "men"]
+             + common)
+    with pytest.raises(SystemExit, match="out of range"):
+        main(["evaluate", "--preset", "sht_ltn", "--eval-crop", "10"]
+             + common)
+    with pytest.raises(SystemExit, match="cannot be combined"):
+        main(["evaluate", "--preset", "sht_ltn", "--eval-crop", "mean",
+              "--dump-scores", str(tmp_path / "s.npz")] + common)
+
+
+def test_parse_typed_pep604_union():
+    from lstc_vad_tpu.cli.main import _parse_typed
+    assert _parse_typed("3", int | None, "x") == 3
+    assert _parse_typed("None", int | None, "x") is None

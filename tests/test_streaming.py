@@ -143,3 +143,34 @@ def test_trainer_test_items_are_lazy(tmp_path):
     assert items and all(callable(f) for f, _ in items)
     feat = items[0][0]()
     assert feat.ndim == 3
+
+
+def test_testvideo_cache_memoizes_and_trainer_flags_it(tmp_path):
+    """cache=True reads the store once and keeps the array (in-training
+    eval residency); eval_only trainers stream (cache off)."""
+    store = SyntheticStore(n_clips=20, n_patch=4, d=16)
+    v = TestVideo("k", np.zeros(320), False, 320, 20,
+                  lambda: store.get("k"), cache=True)
+    a, b = v.feat, v.feat
+    assert store.reads == 1 and a is b
+    v2 = TestVideo("k", np.zeros(320), False, 320, 20,
+                   lambda: store.get("k"))
+    v2.feat, v2.feat
+    assert store.reads == 3  # uncached: one read per access
+
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.train.driver import Trainer
+    h5, train_txt, test_txt, mask_dir = make_sht_like(str(tmp_path),
+                                                      n_patch=3, d_model=16)
+    small = {"encoder.d_model": 16, "encoder.d_inner": 24,
+             "encoder.n_head": 2, "encoder.d_k": 8, "encoder.d_v": 8,
+             "encoder.n_layers": 1, "encoder.window_size": 2,
+             "head.d_model": 16, "head.hidden_dim": 8, "data.h5_path": h5,
+             "data.test_txt": test_txt, "data.test_mask_dir": mask_dir,
+             "data.n_patch": 3, "data.d_model": 16}
+    eval_tr = Trainer(preset("sht_ltn", **small), eval_only=True)
+    assert all(not v.cache for v in eval_tr.test_videos)
+    train_tr = Trainer(preset("sht_ltn", **{**small,
+                                            "data.train_txt": train_txt}))
+    assert all(v.cache for v in train_tr.test_videos)  # eager preset
