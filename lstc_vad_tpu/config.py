@@ -157,6 +157,13 @@ class TrainConfig:
                                     # scripts) vs feed short (MIL_CE rounds)
     max_clips: int = 32             # UCF eval bin count
     donate: bool = True
+    dropout_rng: str = "rbg"        # "rbg" | "threefry": dropout-mask bit
+                                    # generator inside the train step.  rbg
+                                    # (XLA RngBitGenerator) is +22% full-step
+                                    # throughput on v5e; streams differ from
+                                    # threefry but RNG parity with the
+                                    # reference is distributional either way
+                                    # (train/steps.py::_dropout_keys)
 
 
 @dataclass(frozen=True)
