@@ -390,6 +390,27 @@ def cmd_benchmark(_args):
     return 0
 
 
+def cmd_export_torch(args):
+    """Export an Orbax checkpoint as the two reference-format torch
+    state_dict files (encoder + head), so TPU-trained weights can be scored
+    by the reference's own scripts
+    (Test/evaluation_shanghaitech_ubnormal.py:35-62)."""
+    cfg = _apply_common(preset(args.preset), args)
+    from ..ckpt import load_checkpoint
+    from ..ckpt.torch_export import save_torch_checkpoint
+    from ..train.state import create_train_state
+
+    state, _, _, _ = create_train_state(cfg)
+    try:
+        params = load_checkpoint(args.ckpt, state.params)
+    except (ValueError, KeyError):
+        params = load_checkpoint(args.ckpt, state).params
+    save_torch_checkpoint(params, args.encoder_out, args.head_out,
+                          cfg.head.kind, cfg.encoder)
+    print(f"wrote {args.encoder_out} and {args.head_out}")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="lstc_vad_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -438,6 +459,16 @@ def main(argv=None):
 
     p = sub.add_parser("benchmark", help="run bench.py")
     p.set_defaults(fn=cmd_benchmark)
+
+    p = sub.add_parser("export-torch",
+                       help="export an Orbax checkpoint as reference-format "
+                            "torch state_dicts (encoder + head)")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True,
+                   help="Orbax directory (bare params or full train state)")
+    p.add_argument("--encoder-out", dest="encoder_out", required=True)
+    p.add_argument("--head-out", dest="head_out", required=True)
+    p.set_defaults(fn=cmd_export_torch)
 
     p = sub.add_parser("pack", help="convert a reference h5 feature file "
                                     "into the native .lstcpack store")

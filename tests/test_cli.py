@@ -45,6 +45,37 @@ def test_cli_train_and_pseudo_and_eval(tmp_path, capsys):
     assert "auc = " in captured.out
 
 
+def test_cli_export_torch_roundtrip(tmp_path, capsys):
+    """export-torch writes reference-format state_dicts; evaluating them via
+    --torch-ckpt reproduces the Orbax checkpoint's AUC exactly."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    state_dir = str(tmp_path / "state")
+    rc = main(["train", "--preset", "sht_stn", "--epochs", "1",
+               "--save-state", state_dir] + common)
+    assert rc == 0
+
+    enc_out = str(tmp_path / "enc.ckpt")
+    head_out = str(tmp_path / "head.ckpt")
+    rc = main(["export-torch", "--preset", "sht_stn", "--ckpt", state_dir,
+               "--encoder-out", enc_out, "--head-out", head_out] + common)
+    assert rc == 0
+
+    def auc_line(text):
+        return [ln for ln in text.splitlines() if "auc = " in ln]
+
+    rc = main(["evaluate", "--preset", "sht_stn", "--ckpt", state_dir]
+              + common)
+    assert rc == 0
+    from_orbax = auc_line(capsys.readouterr().out)
+    rc = main(["evaluate", "--preset", "sht_stn", "--torch-ckpt",
+               "--encoder-ckpt", enc_out, "--head-ckpt", head_out] + common)
+    assert rc == 0
+    from_torch = auc_line(capsys.readouterr().out)
+    assert from_orbax and from_orbax == from_torch
+
+
 def test_cli_set_overrides(tmp_path):
     from lstc_vad_tpu.cli.main import _apply_common, _coerce
     from lstc_vad_tpu.config import preset
