@@ -411,6 +411,30 @@ def cmd_export_torch(args):
     return 0
 
 
+def cmd_export_aot(args):
+    """Serialize the eval scorer (StableHLO program + params) into a
+    self-contained deployment artifact — loading needs only jax + numpy,
+    no model code/config/retrace (lstc_vad_tpu/export.py)."""
+    cfg = _apply_common(preset(args.preset), args)
+    from ..ckpt import load_checkpoint
+    from ..export import save_scorer_artifact
+    from ..train.state import create_train_state
+
+    state, encoder, head, _ = create_train_state(cfg)
+    try:
+        params = load_checkpoint(args.ckpt, state.params)
+    except (ValueError, KeyError):
+        params = load_checkpoint(args.ckpt, state).params
+    token_len = (cfg.data.n_patch if cfg.model.startswith("stn")
+                 else cfg.data.part_len * cfg.data.n_patch)
+    save_scorer_artifact(args.out, encoder, head, cfg.head.kind, params,
+                         token_len, cfg.encoder.d_model,
+                         l2_normalize=args.l2,
+                         platforms=tuple(args.platforms.split(",")))
+    print(f"wrote AOT scorer artifact to {args.out}")
+    return 0
+
+
 def main(argv=None):
     parser = argparse.ArgumentParser(prog="lstc_vad_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -469,6 +493,20 @@ def main(argv=None):
     p.add_argument("--encoder-out", dest="encoder_out", required=True)
     p.add_argument("--head-out", dest="head_out", required=True)
     p.set_defaults(fn=cmd_export_torch)
+
+    p = sub.add_parser("export-aot",
+                       help="serialize the eval scorer (StableHLO + params) "
+                            "into a self-contained deployment artifact")
+    _add_common(p)
+    p.add_argument("--ckpt", required=True,
+                   help="Orbax directory (bare params or full train state)")
+    p.add_argument("--out", required=True, help="artifact directory")
+    p.add_argument("--l2", action="store_true",
+                   help="bake in the UCF eval-only L2 feature normalize "
+                        "(Test/evaluation_UCF.py:77)")
+    p.add_argument("--platforms", default="tpu,cpu",
+                   help="comma-separated lowering platforms")
+    p.set_defaults(fn=cmd_export_aot)
 
     p = sub.add_parser("pack", help="convert a reference h5 feature file "
                                     "into the native .lstcpack store")

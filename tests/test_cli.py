@@ -76,6 +76,29 @@ def test_cli_export_torch_roundtrip(tmp_path, capsys):
     assert from_orbax and from_orbax == from_torch
 
 
+def test_cli_export_aot(tmp_path, capsys):
+    """export-aot writes a loadable StableHLO artifact whose scores match
+    the live model."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    state_dir = str(tmp_path / "state")
+    rc = main(["train", "--preset", "sht_stn", "--epochs", "1",
+               "--save-state", state_dir] + common)
+    assert rc == 0
+    art = str(tmp_path / "artifact")
+    rc = main(["export-aot", "--preset", "sht_stn", "--ckpt", state_dir,
+               "--out", art, "--platforms", "cpu"] + common)
+    assert rc == 0
+
+    from lstc_vad_tpu.export import load_scorer
+    loaded = load_scorer(art)
+    assert loaded.meta["token_len"] == 4 and loaded.meta["kind"] == "regressor"
+    x = np.random.default_rng(0).standard_normal((5, 4, 16)).astype(np.float32)
+    scores = loaded.score(x)
+    assert scores.shape == (5,) and np.all((scores >= 0) & (scores <= 1))
+
+
 def test_cli_set_overrides(tmp_path):
     from lstc_vad_tpu.cli.main import _apply_common, _coerce
     from lstc_vad_tpu.config import preset
