@@ -111,6 +111,7 @@ def _apply_common(cfg: TrainConfig, args) -> TrainConfig:
         "pseudo_labels": "data.pseudo_labels_path",
         "batch_size": "data.batch_size", "seed": "data.seed",
         "epochs": "epochs", "save_dir": "model_save_dir",
+        "metrics_jsonl": "metrics_jsonl",
     }
     if getattr(args, "seed", None) is not None:
         kw["seed"] = args.seed  # param-init + dropout PRNG, like set_seeds
@@ -138,6 +139,9 @@ def _add_common(p):
     p.add_argument("--epochs", type=int)
     p.add_argument("--save-dir", dest="save_dir")
     p.add_argument("--log-dir", dest="log_dir")
+    p.add_argument("--metrics-jsonl", dest="metrics_jsonl",
+                   help="append structured per-epoch/eval metrics (one JSON "
+                        "line each) to this file")
     p.add_argument("--set", action="append", metavar="PATH=VALUE",
                    help="override any config field, e.g. optim.lr_encoder=3e-4")
 
@@ -411,6 +415,25 @@ def cmd_export_torch(args):
     return 0
 
 
+def cmd_validate_data(args):
+    """Walk every data artifact the config points at and report ALL
+    inconsistencies (missing keys/masks, shape mismatches, short videos,
+    pseudo-label gaps) — instead of the reference's first-KeyError-wins
+    (utils/load_dataset.py:42,285-286,409)."""
+    cfg = _apply_common(preset(args.preset), args)
+    from ..data.validate import validate_data
+
+    problems, stats = validate_data(cfg)
+    print("stats: " + ", ".join(f"{k}={v}" for k, v in sorted(stats.items())))
+    if problems:
+        for p in problems:
+            print(f"PROBLEM: {p}")
+        print(f"{len(problems)} problem(s) found")
+        return 1
+    print("ok: all referenced data artifacts are consistent")
+    return 0
+
+
 def cmd_export_aot(args):
     """Serialize the eval scorer (StableHLO program + params) into a
     self-contained deployment artifact — loading needs only jax + numpy,
@@ -493,6 +516,13 @@ def main(argv=None):
     p.add_argument("--encoder-out", dest="encoder_out", required=True)
     p.add_argument("--head-out", dest="head_out", required=True)
     p.set_defaults(fn=cmd_export_torch)
+
+    p = sub.add_parser("validate-data",
+                       help="check h5/pack, annotation txts, frame masks and "
+                            "pseudo labels for consistency (metadata-only, "
+                            "reports every problem)")
+    _add_common(p)
+    p.set_defaults(fn=cmd_validate_data)
 
     p = sub.add_parser("export-aot",
                        help="serialize the eval scorer (StableHLO + params) "

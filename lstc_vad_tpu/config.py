@@ -157,6 +157,9 @@ class TrainConfig:
                                     # scripts) vs feed short (MIL_CE rounds)
     max_clips: int = 32             # UCF eval bin count
     donate: bool = True
+    metrics_jsonl: str = ""         # append one JSON line per train epoch /
+                                    # eval to this file (machine-readable
+                                    # observability; "" = off)
     dropout_rng: str = "rbg"        # "rbg" | "threefry": dropout-mask bit
                                     # generator inside the train step.  rbg
                                     # (XLA RngBitGenerator) is +22% full-step

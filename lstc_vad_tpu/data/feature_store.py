@@ -68,6 +68,17 @@ class FeatureStore:
             return int(np.prod(shape)) // (10 * self._n_patch * self._d_model)
         return shape[0]
 
+    def shape(self, key: str):
+        """Raw stored shape (pre-tenCrop reshape), metadata-only."""
+        with self._lock:
+            return tuple(self._h5[key + ".npy"].shape)
+
+    def keys(self):
+        """All video keys in the store (".npy" suffix stripped)."""
+        with self._lock:
+            return [k[:-4] if k.endswith(".npy") else k
+                    for k in self._h5.keys()]
+
     def close(self):
         self._h5.close()
 

@@ -175,6 +175,10 @@ class PackedStore:
         """(n_clips, n_patch, d_model) as stored (pre-tenCrop reshape)."""
         return self._np.shape(key)
 
+    def keys(self):
+        """All video keys in the pack."""
+        return list(self._np.index.keys())
+
     def n_clips(self, key: str) -> int:
         n_clips, _, _ = self._np.shape(key)
         if self._ten_crop:

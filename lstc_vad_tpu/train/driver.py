@@ -250,6 +250,19 @@ class Trainer:
                 max(timer_total.seconds, 1e-9)
         return out | {"batches": n}
 
+    def _emit_metrics(self, record: Dict):
+        """Structured observability: one JSON line per record (the reference
+        only has free-text log lines, utils/utils.py:72-96).  Off unless
+        cfg.metrics_jsonl is set."""
+        path = self.cfg.metrics_jsonl
+        if not path:
+            return
+        import json
+        import time
+
+        with open(path, "a") as f:
+            f.write(json.dumps({"ts": round(time.time(), 3), **record}) + "\n")
+
     # ------------------------------------------------------------ ckpt
 
     def save_state(self, path: str):
@@ -279,6 +292,8 @@ class Trainer:
             result.steps += m.pop("batches")
             self.logger.info("[epoch %d] %s", epoch,
                              {k: round(v, 4) for k, v in m.items()})
+            self._emit_metrics({"kind": "train", "epoch": epoch,
+                                "step": int(self.state.step), **m})
             if epoch % cfg.inter_epoch == 0 or epoch == epochs - 1:
                 auc_test = self.evaluate("test") if self.test_videos else 0.0
                 auc_train = (self.evaluate("train")
@@ -286,6 +301,7 @@ class Trainer:
                 entry = {"epoch": epoch, "auc_test": auc_test,
                          "auc_train": auc_train, **m}
                 result.history.append(entry)
+                self._emit_metrics({"kind": "eval", **entry})
                 # the reference gates saving on the train-split AUC for SHT
                 # (spatio_transformer_shanghaitech.py:177-191) and on test AUC
                 # for UCF (spatio_transformer_UCF.py:139-149)

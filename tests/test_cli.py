@@ -99,6 +99,25 @@ def test_cli_export_aot(tmp_path, capsys):
     assert scores.shape == (5,) and np.all((scores >= 0) & (scores <= 1))
 
 
+def test_cli_metrics_jsonl(tmp_path):
+    import json
+
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    path = str(tmp_path / "metrics.jsonl")
+    rc = main(["train", "--preset", "sht_stn", "--epochs", "2",
+               "--metrics-jsonl", path] + common)
+    assert rc == 0
+    lines = [json.loads(ln) for ln in open(path)]
+    kinds = [ln["kind"] for ln in lines]
+    assert kinds.count("train") == 2 and "eval" in kinds
+    train0 = next(ln for ln in lines if ln["kind"] == "train")
+    assert {"ts", "epoch", "step", "loss", "snippets_per_sec"} <= set(train0)
+    ev = next(ln for ln in lines if ln["kind"] == "eval")
+    assert {"auc_test", "auc_train", "epoch"} <= set(ev)
+
+
 def test_cli_set_overrides(tmp_path):
     from lstc_vad_tpu.cli.main import _apply_common, _coerce
     from lstc_vad_tpu.config import preset
