@@ -450,10 +450,19 @@ def cmd_export_aot(args):
         params = load_checkpoint(args.ckpt, state).params
     token_len = (cfg.data.n_patch if cfg.model.startswith("stn")
                  else cfg.data.part_len * cfg.data.n_patch)
+    tails = ()
+    if args.tails:
+        if cfg.model.startswith("stn"):
+            raise SystemExit("--tails is for LTN presets (STN scores single "
+                             "clips — there are no shorter tail parts)")
+        # the no-re-window eval paths score tail parts at their true length
+        # (distinct programs: the relative-PE slices by sequence length)
+        tails = tuple(range(cfg.data.n_patch, token_len, cfg.data.n_patch))
     save_scorer_artifact(args.out, encoder, head, cfg.head.kind, params,
                          token_len, cfg.encoder.d_model,
                          l2_normalize=args.l2,
-                         platforms=tuple(args.platforms.split(",")))
+                         platforms=tuple(args.platforms.split(",")),
+                         extra_token_lens=tails)
     print(f"wrote AOT scorer artifact to {args.out}")
     return 0
 
@@ -534,6 +543,9 @@ def main(argv=None):
     p.add_argument("--l2", action="store_true",
                    help="bake in the UCF eval-only L2 feature normalize "
                         "(Test/evaluation_UCF.py:77)")
+    p.add_argument("--tails", action="store_true",
+                   help="LTN: also bake programs for tail parts of 1.."
+                        "part_len-1 clips (the no-re-window eval semantics)")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering platforms")
     p.set_defaults(fn=cmd_export_aot)

@@ -7,28 +7,35 @@ math of ``evaluation.scoring.VideoScorer`` — is lowered once and serialized
 together with its params into a single directory artifact:
 
     artifact/
-      program.bin   jax.export serialization (StableHLO + calling convention)
-      params.npz    flattened param leaves keyed by tree path
-      meta.json     token_len/d_model/head kind/l2 flag + export platforms
+      program_L{n}.bin   jax.export serialization, one per token length
+      params.npz         flattened param leaves keyed by tree path
+      meta.json          token_lens/d_model/head kind/l2 flag/platforms
 
 Loading needs ONLY jax + numpy — no flax, no model code, no config, no
-retrace: ``load_scorer(path)`` deserializes the program and calls it.  The
-batch axis is exported symbolically, so one artifact serves every batch
-size; ``platforms=("tpu", "cpu")`` (the default) makes the same artifact
-runnable on chip and in CPU CI/serving hosts.
+retrace: ``load_scorer(path)`` deserializes the programs and calls them.
+The batch axis is exported symbolically, so one program serves every batch
+size; several TOKEN lengths can be baked into one artifact (they are
+genuinely distinct programs: the relative-position bias is sliced by the
+actual sequence length, models/MultiHeadAttention.py:108 — this is how LTN
+tail parts shorter than part_len are scored offline).  ``platforms=("tpu",
+"cpu")`` (the default) makes the same artifact runnable on chip and in CPU
+CI/serving hosts.
 """
 
 from __future__ import annotations
 
 import json
 import os
-from typing import Dict, Sequence, Tuple
+from typing import Dict, Sequence
 
 import numpy as np
 
 _META = "meta.json"
-_PROGRAM = "program.bin"
 _PARAMS = "params.npz"
+
+
+def _program_file(token_len: int) -> str:
+    return f"program_L{token_len}.bin"
 
 
 def _scorer_fn(encoder, head, kind: str, l2_normalize: bool):
@@ -88,59 +95,71 @@ def export_scorer(encoder, head, kind: str, params, token_len: int,
 def save_scorer_artifact(path: str, encoder, head, kind: str, params,
                          token_len: int, d_model: int,
                          l2_normalize: bool = False,
-                         platforms: Sequence[str] = ("tpu", "cpu")) -> None:
-    exported = export_scorer(encoder, head, kind, params, token_len, d_model,
-                             l2_normalize, platforms)
+                         platforms: Sequence[str] = ("tpu", "cpu"),
+                         extra_token_lens: Sequence[int] = ()) -> None:
+    """``extra_token_lens``: additional sequence lengths to bake in (e.g.
+    LTN tail parts l*n_patch for l < part_len — distinct programs because
+    the relative-PE index slices by length)."""
+    token_lens = sorted({token_len, *extra_token_lens})
     os.makedirs(path, exist_ok=True)
-    with open(os.path.join(path, _PROGRAM), "wb") as f:
-        f.write(exported.serialize())
+    for length in token_lens:
+        exported = export_scorer(encoder, head, kind, params, length,
+                                 d_model, l2_normalize, platforms)
+        with open(os.path.join(path, _program_file(length)), "wb") as f:
+            f.write(exported.serialize())
     np.savez(os.path.join(path, _PARAMS), **_flatten_params(params))
     with open(os.path.join(path, _META), "w") as f:
-        json.dump({"token_len": token_len, "d_model": d_model, "kind": kind,
+        json.dump({"token_len": token_len, "token_lens": token_lens,
+                   "d_model": d_model, "kind": kind,
                    "l2_normalize": l2_normalize,
                    "platforms": list(platforms)}, f, indent=1)
 
 
 class LoadedScorer:
-    """A deserialized scorer artifact.  ``score(tokens[B, L, d]) -> [B]``.
+    """A deserialized scorer artifact.  ``score(tokens[B, L, d]) -> [B]``
+    for any baked-in token length L.
 
-    Depends only on jax + numpy: the program is already lowered, so the
-    model code/config that produced it is not needed.  Batches are padded up
-    to power-of-two buckets to bound the number of XLA compilations (the
-    program itself is shape-polymorphic in the batch axis)."""
+    Depends only on jax + numpy: the programs are already lowered, so the
+    model code/config that produced them is not needed.  Batches are padded
+    up to power-of-two buckets to bound the number of XLA compilations (each
+    program is shape-polymorphic in the batch axis)."""
 
-    def __init__(self, exported, params: dict, meta: dict):
+    def __init__(self, exported_by_len: dict, params: dict, meta: dict):
         import jax
 
         self.meta = meta
         self._params = params
-        self._call = jax.jit(exported.call)
+        self._calls = {length: jax.jit(e.call)
+                       for length, e in exported_by_len.items()}
+
+    @property
+    def token_lens(self):
+        return sorted(self._calls)
 
     def score(self, tokens: np.ndarray) -> np.ndarray:
         n, length, d = tokens.shape
-        if (length, d) != (self.meta["token_len"], self.meta["d_model"]):
+        call = self._calls.get(length)
+        if call is None or d != self.meta["d_model"]:
             raise ValueError(
-                f"tokens [{length}, {d}] do not match the exported program "
-                f"[{self.meta['token_len']}, {self.meta['d_model']}]")
+                f"tokens [{length}, {d}] do not match the exported programs "
+                f"(token_lens={self.token_lens}, d_model="
+                f"{self.meta['d_model']})")
         bucket = 1 << max(0, (n - 1)).bit_length()
         if bucket != n:
             pad = np.zeros((bucket - n, length, d), tokens.dtype)
             tokens = np.concatenate([tokens, pad], axis=0)
-        return np.asarray(self._call(self._params, tokens))[:n]
+        return np.asarray(call(self._params, tokens))[:n]
 
 
 def load_scorer(path: str) -> LoadedScorer:
     import jax
 
-    with open(os.path.join(path, _PROGRAM), "rb") as f:
-        exported = jax.export.deserialize(f.read())
-    with np.load(os.path.join(path, _PARAMS)) as z:
-        params = _unflatten_params({k: z[k] for k in z.files})
     with open(os.path.join(path, _META)) as f:
         meta = json.load(f)
+    exported = {}
+    for length in meta.get("token_lens", [meta["token_len"]]):
+        with open(os.path.join(path, _program_file(length)), "rb") as f:
+            exported[length] = jax.export.deserialize(f.read())
+    with np.load(os.path.join(path, _PARAMS)) as z:
+        params = _unflatten_params({k: z[k] for k in z.files})
     return LoadedScorer(exported, params, meta)
-
-
-def artifact_paths(path: str) -> Tuple[str, str, str]:
-    return (os.path.join(path, _PROGRAM), os.path.join(path, _PARAMS),
-            os.path.join(path, _META))

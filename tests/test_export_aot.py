@@ -73,6 +73,27 @@ def test_artifact_l2_and_regressor(rng, tmp_path):
     np.testing.assert_allclose(loaded.score(x), live, rtol=1e-5, atol=1e-6)
 
 
+def test_multi_length_artifact_tail_parity(rng, tmp_path):
+    """Tail lengths are distinct programs (RPE slices by length): each baked
+    length must reproduce the live apply at that length."""
+    encoder, head, params = _build(rng)
+    art = str(tmp_path / "artifact")
+    save_scorer_artifact(art, encoder, head, "classifier", params,
+                         TOKEN_LEN, CFG.d_model, platforms=("cpu",),
+                         extra_token_lens=(4, 8))
+    loaded = load_scorer(art)
+    assert loaded.token_lens == [4, 8, TOKEN_LEN]
+    for L in (4, 8, TOKEN_LEN):
+        x = rng.standard_normal((3, L, CFG.d_model)).astype(np.float32)
+        live = np.asarray(head.apply(
+            {"params": params["head"]},
+            encoder.apply({"params": params["encoder"]}, x,
+                          deterministic=True)[:, 0, :],
+            deterministic=True))[:, 1]
+        np.testing.assert_allclose(loaded.score(x), live, rtol=1e-6,
+                                   atol=1e-7)
+
+
 def test_artifact_rejects_wrong_token_shape(rng, tmp_path):
     encoder, head, params = _build(rng)
     art = str(tmp_path / "artifact")
