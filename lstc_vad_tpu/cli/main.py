@@ -28,6 +28,25 @@ from ..config import PRESETS, TrainConfig, preset, replace
 from ..utils.logging import get_logger, log_config
 
 
+def _maybe_enable_compile_cache():
+    """Opt-in persistent XLA compilation cache: LSTC_VAD_COMPILE_CACHE=<dir>.
+
+    First compiles of the full-dims programs cost minutes on remote-attached
+    TPUs; with the cache, every later CLI invocation (train/evaluate/
+    gen-pseudo/coteach rounds in separate processes) reuses the lowered
+    binaries instead of recompiling per process."""
+    import os
+
+    path = os.environ.get("LSTC_VAD_COMPILE_CACHE")
+    if not path or path.lower() in ("0", "off", "false"):
+        return
+    import jax
+
+    jax.config.update("jax_compilation_cache_dir", os.path.abspath(path))
+    jax.config.update("jax_persistent_cache_min_compile_time_secs", 0.0)
+    jax.config.update("jax_persistent_cache_min_entry_size_bytes", -1)
+
+
 def _valid_paths(cfg) -> list:
     out = []
 
@@ -468,6 +487,7 @@ def cmd_export_aot(args):
 
 
 def main(argv=None):
+    _maybe_enable_compile_cache()
     parser = argparse.ArgumentParser(prog="lstc_vad_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
 

@@ -118,6 +118,28 @@ def test_cli_metrics_jsonl(tmp_path):
     assert {"auc_test", "auc_train", "epoch"} <= set(ev)
 
 
+def test_cli_compile_cache_env(tmp_path, monkeypatch):
+    """LSTC_VAD_COMPILE_CACHE turns on the persistent XLA cache: the jitted
+    train-step binaries land in the directory and later processes reuse
+    them."""
+    import os
+
+    import jax
+
+    cache = tmp_path / "xla_cache"
+    monkeypatch.setenv("LSTC_VAD_COMPILE_CACHE", str(cache))
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    try:
+        rc = main(["train", "--preset", "sht_stn", "--epochs", "1"]
+                  + _common(fixture))
+        assert rc == 0
+        assert jax.config.jax_compilation_cache_dir == str(cache)
+        assert os.path.isdir(cache) and len(os.listdir(cache)) > 0
+    finally:
+        jax.config.update("jax_compilation_cache_dir", None)
+
+
 def test_cli_set_overrides(tmp_path):
     from lstc_vad_tpu.cli.main import _apply_common, _coerce
     from lstc_vad_tpu.config import preset
