@@ -55,6 +55,89 @@ def _cfg(model, fixture, tmp_path):
         model_save_dir=str(tmp_path / "ckpt"))
 
 
+# frozen on 2026-08-16 (jax CPU, f32, dropout_rng=rbg)
+GOLDEN_UCF = {
+    "stn_round0": 0.5312555796754156,
+    "ltn_round1": 0.5365306243911302,
+    "stn_bce_round2": 0.49586516684991494,
+}
+
+GOLDEN_UBNORMAL = 0.43975766206465017
+
+
+def test_golden_ucf_pipeline_auc(tmp_path):
+    """UCF quirk sites pinned by one pipeline: 32-bin linspace pooling,
+    adaptive bins in-training, short-video doubling, clip-resolution pseudo
+    labels, GT-h5 masks (Test/evaluation_UCF.py,
+    Train/temporal_transformer_UCF.py:139-172)."""
+    from fixtures import make_ucf_like
+
+    h5, train_txt, test_txt, gt_h5 = make_ucf_like(
+        str(tmp_path), n_patch=3, d_model=16, n_clips=(8, 40))
+
+    def cfg(model):
+        part_len = 2 if model == "ltn" else 5
+        if model == "ltn":
+            enc = EncoderConfig(mha_layernorm=True, ffn_layernorm=True,
+                                relative_pe=True, window_size=4,
+                                window_depth=part_len, **SMALL_ENC)
+            head = HeadConfig(kind="classifier", d_model=16, hidden_dim=8)
+        else:
+            enc = EncoderConfig(ffn_layernorm=True, **SMALL_ENC)
+            head = HeadConfig(kind="regressor", d_model=16, hidden_dim=8)
+        return TrainConfig(
+            model=model, encoder=enc, head=head, seed=5,
+            data=DataConfig(dataset="UCF", h5_path=h5, train_txt=train_txt,
+                            test_txt=test_txt, test_mask_h5=gt_h5, n_patch=3,
+                            d_model=16, part_num=4, part_len=part_len,
+                            batch_size=2, eager=False, seed=13),
+            epochs=1, inter_epoch=1, save_threshold=2.0,
+            eval_train_split=False, max_clips=8,
+            model_save_dir=str(tmp_path / "ckpt"))
+
+    driver = CoTeachingDriver(cfg("stn"), cfg("ltn"), str(tmp_path / "work"),
+                              stn_threshold=0.5, ltn_threshold=0.4)
+    trainers = driver.run(rounds=3, stn_epochs=1, ltn_epochs=1)
+    got = {
+        "stn_round0": trainers[0].evaluate("test"),
+        "ltn_round1": trainers[1].evaluate("test"),
+        "stn_bce_round2": trainers[2].evaluate("test"),
+    }
+    print({k: repr(v) for k, v in got.items()})
+    for key, want in GOLDEN_UCF.items():
+        assert got[key] == pytest.approx(want, abs=1e-6), (
+            f"{key}: got {got[key]!r}, golden {want!r}")
+
+
+def test_golden_ubnormal_auc(tmp_path):
+    """UBnormal path pinned: prefix-based classes, d_model/frame-mask eval,
+    LTN tail re-window (Train/temporal_transformer_UBnormal.py)."""
+    from fixtures import make_ubnormal_like
+
+    h5, train_txt, test_txt, mask_dir = make_ubnormal_like(
+        str(tmp_path), n_patch=4, d_model=8)
+    enc = EncoderConfig(mha_layernorm=True, ffn_layernorm=True,
+                        relative_pe=True, window_size=4, window_depth=3,
+                        d_model=8, d_inner=16, n_head=2, d_k=4, d_v=4,
+                        n_layers=1, attn_impl="xla")
+    cfg = TrainConfig(
+        model="ltn", encoder=enc,
+        head=HeadConfig(kind="classifier", d_model=8, hidden_dim=8), seed=9,
+        data=DataConfig(dataset="UBnormal", h5_path=h5, train_txt=train_txt,
+                        test_txt=test_txt, test_mask_dir=mask_dir + "/",
+                        n_patch=4, d_model=8, part_num=4, part_len=3,
+                        batch_size=2, seed=17),
+        epochs=2, inter_epoch=1, save_threshold=2.0, eval_train_split=False,
+        model_save_dir=str(tmp_path / "ckpt"))
+    from lstc_vad_tpu.train.driver import Trainer
+
+    trainer = Trainer(cfg)
+    trainer.fit(epochs=2)
+    auc = trainer.evaluate("test")
+    print(repr(auc))
+    assert auc == pytest.approx(GOLDEN_UBNORMAL, abs=1e-6)
+
+
 def test_golden_pipeline_auc(tmp_path):
     fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
                             n_clips=(14, 30), seed=7)
