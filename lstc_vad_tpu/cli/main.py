@@ -481,7 +481,10 @@ def cmd_export_aot(args):
                          token_len, cfg.encoder.d_model,
                          l2_normalize=args.l2,
                          platforms=tuple(args.platforms.split(",")),
-                         extra_token_lens=tails)
+                         extra_token_lens=tails,
+                         extra_meta={"n_patch": cfg.data.n_patch,
+                                     "part_len": (1 if cfg.model.startswith(
+                                         "stn") else cfg.data.part_len)})
     print(f"wrote AOT scorer artifact to {args.out}")
     return 0
 

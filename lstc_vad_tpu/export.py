@@ -96,10 +96,13 @@ def save_scorer_artifact(path: str, encoder, head, kind: str, params,
                          token_len: int, d_model: int,
                          l2_normalize: bool = False,
                          platforms: Sequence[str] = ("tpu", "cpu"),
-                         extra_token_lens: Sequence[int] = ()) -> None:
+                         extra_token_lens: Sequence[int] = (),
+                         extra_meta: dict | None = None) -> None:
     """``extra_token_lens``: additional sequence lengths to bake in (e.g.
     LTN tail parts l*n_patch for l < part_len — distinct programs because
-    the relative-PE index slices by length)."""
+    the relative-PE index slices by length).  ``extra_meta``: merged into
+    meta.json (e.g. n_patch/part_len so serving.StreamingScorer.from_artifact
+    can reconstruct the clip layout)."""
     token_lens = sorted({token_len, *extra_token_lens})
     os.makedirs(path, exist_ok=True)
     for length in token_lens:
@@ -112,7 +115,8 @@ def save_scorer_artifact(path: str, encoder, head, kind: str, params,
         json.dump({"token_len": token_len, "token_lens": token_lens,
                    "d_model": d_model, "kind": kind,
                    "l2_normalize": l2_normalize,
-                   "platforms": list(platforms)}, f, indent=1)
+                   "platforms": list(platforms), **(extra_meta or {})},
+                  f, indent=1)
 
 
 class LoadedScorer:

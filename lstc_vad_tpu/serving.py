@@ -38,6 +38,39 @@ class StreamingScorer:
         self._buffers: Dict[str, List[np.ndarray]] = {}
         self._apply = self._build()
 
+    @classmethod
+    def from_artifact(cls, path: str, max_streams: int = 64,
+                      part_len: Optional[int] = None):
+        """Serve straight from an AOT artifact (CLI ``export-aot``): the
+        serving process needs only jax + numpy — no flax, no model code, no
+        config, no retrace.  The artifact must bake the flush token length
+        (part_len*n_patch); if streams may end on partial parts, each tail
+        length too (``export-aot --tails``)."""
+        from .export import load_scorer
+
+        loaded = load_scorer(path)
+        meta = loaded.meta
+        part_len = part_len if part_len is not None else meta.get("part_len")
+        if part_len is None:
+            raise ValueError("artifact meta has no part_len — pass part_len=")
+        token_len = meta["token_len"]
+        if token_len % part_len:
+            raise ValueError(f"token_len {token_len} is not divisible by "
+                             f"part_len {part_len}")
+        self = cls.__new__(cls)
+        self.encoder = self.head = None
+        self.params = None
+        self.part_len = int(part_len)
+        self.n_patch = token_len // int(part_len)
+        self.d_model = meta["d_model"]
+        self.max_streams = max_streams
+        self.head_kind = meta["kind"]
+        self._buffers = {}
+        # LoadedScorer.score handles batch padding and returns host numpy of
+        # the input batch size; params are baked into the loaded artifact
+        self._apply = lambda _params, tokens: loaded.score(tokens)
+        return self
+
     def _build(self):
         encoder, head, kind = self.encoder, self.head, self.head_kind
 

@@ -137,3 +137,35 @@ def test_end_streams_batched_calls(model, rng):
     for sid, v in videos.items():
         expected, _ = offline.score_video(params, v)
         np.testing.assert_allclose(out[sid], expected, atol=1e-5)
+
+
+def test_serving_from_artifact_matches_live(model, rng, tmp_path):
+    """StreamingScorer.from_artifact: flush + tail scores are identical to
+    the flax-backed scorer (the artifact bakes the flush and tail
+    programs)."""
+    from lstc_vad_tpu.export import save_scorer_artifact
+
+    enc, head, params = model
+    part_len, n_patch, d = 3, 4, 16
+    art = str(tmp_path / "artifact")
+    save_scorer_artifact(art, enc, head, "classifier", params,
+                         part_len * n_patch, d, platforms=("cpu",),
+                         extra_token_lens=(n_patch, 2 * n_patch),
+                         extra_meta={"n_patch": n_patch,
+                                     "part_len": part_len})
+
+    live = StreamingScorer(enc, head, params, part_len, n_patch, d,
+                           max_streams=4)
+    aot = StreamingScorer.from_artifact(art, max_streams=4)
+    assert (aot.part_len, aot.n_patch, aot.d_model) == (part_len, n_patch, d)
+
+    video = rng.standard_normal((8, n_patch, d)).astype(np.float32)  # tail 2
+    for s in (live, aot):
+        for clip in video:
+            s.push("cam0", clip)
+    live_flush = [x for _, x in live.flush()]
+    aot_flush = [x for _, x in aot.flush()]
+    np.testing.assert_allclose(aot_flush, live_flush, atol=1e-6)
+    live_tail = live.end_stream("cam0")
+    aot_tail = aot.end_stream("cam0")
+    np.testing.assert_allclose(aot_tail, live_tail, atol=1e-6)
