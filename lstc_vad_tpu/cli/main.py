@@ -434,6 +434,68 @@ def cmd_export_torch(args):
     return 0
 
 
+def cmd_profile(args):
+    """Capture a device trace (TensorBoard/XProf) of the jitted train or
+    eval step at the preset's real shapes on synthetic data — compile and
+    warm-up excluded, only steady-state steps traced."""
+    import numpy as np
+
+    cfg = _apply_common(preset(args.preset), args)
+    from ..train.state import create_train_state
+    from ..utils.profiling import trace
+
+    state, encoder, head, tx = create_train_state(cfg)
+    d, dd = cfg.encoder.d_model, cfg.data
+    rng = np.random.default_rng(0)
+    import jax
+
+    if args.mode == "train":
+        from ..train import steps as steps_mod
+
+        maker = {"stn": steps_mod.make_stn_train_step,
+                 "stn_bce": steps_mod.make_stn_bce_train_step,
+                 "ltn": steps_mod.make_ltn_train_step}[cfg.model]
+        step_fn = maker(encoder, head, cfg, tx)
+        fshape = (dd.batch_size, dd.part_num * dd.part_len, dd.n_patch, d)
+        norm = jax.device_put(rng.standard_normal(fshape).astype(np.float32))
+        abnorm = jax.device_put(
+            rng.standard_normal(fshape).astype(np.float32))
+        labs = jax.device_put(
+            rng.random((dd.batch_size, dd.part_num * dd.part_len))
+            .astype(np.float32))
+
+        def one_step():
+            nonlocal state
+            state, m = step_fn(state, norm, labs, abnorm, labs)
+            return m["loss"]
+    else:
+        tokens = (dd.n_patch if cfg.model.startswith("stn")
+                  else dd.part_len * dd.n_patch)
+
+        @jax.jit
+        def apply(params, x):
+            h = encoder.apply({"params": params["encoder"]}, x,
+                              deterministic=True)
+            return head.apply({"params": params["head"]}, h[:, 0, :],
+                              deterministic=True)
+
+        x = jax.device_put(rng.standard_normal(
+            (args.eval_batch, tokens, d)).astype(np.float32))
+        params = state.params
+        one_step = lambda: apply(params, x)  # noqa: E731
+
+    float(np.asarray(one_step()).sum())     # compile
+    float(np.asarray(one_step()).sum())     # warm
+    with trace(args.out):
+        last = None
+        for _ in range(args.steps):
+            last = one_step()
+        float(np.asarray(last).sum())        # drain inside the trace window
+    print(f"trace written to {args.out} "
+          f"({args.steps} {args.mode} steps; view with TensorBoard/XProf)")
+    return 0
+
+
 def cmd_validate_data(args):
     """Walk every data artifact the config points at and report ALL
     inconsistencies (missing keys/masks, shape mismatches, short videos,
@@ -548,6 +610,16 @@ def main(argv=None):
     p.add_argument("--encoder-out", dest="encoder_out", required=True)
     p.add_argument("--head-out", dest="head_out", required=True)
     p.set_defaults(fn=cmd_export_torch)
+
+    p = sub.add_parser("profile",
+                       help="capture a TensorBoard/XProf device trace of the "
+                            "jitted train or eval step at preset shapes")
+    _add_common(p)
+    p.add_argument("--mode", choices=("train", "eval"), default="train")
+    p.add_argument("--steps", type=int, default=5)
+    p.add_argument("--eval-batch", dest="eval_batch", type=int, default=1024)
+    p.add_argument("--out", required=True, help="trace log directory")
+    p.set_defaults(fn=cmd_profile)
 
     p = sub.add_parser("validate-data",
                        help="check h5/pack, annotation txts, frame masks and "

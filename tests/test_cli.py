@@ -353,3 +353,20 @@ def test_parse_typed_pep604_union():
     from lstc_vad_tpu.cli.main import _parse_typed
     assert _parse_typed("3", int | None, "x") == 3
     assert _parse_typed("None", int | None, "x") is None
+
+
+def test_cli_profile(tmp_path):
+    """profile captures a steady-state XProf trace of the real step."""
+    import os
+
+    out = str(tmp_path / "trace")
+    rc = main(["profile", "--preset", "sht_stn", "--mode", "train",
+               "--steps", "2", "--out", out, "--batch-size", "2"] + SMALL)
+    assert rc == 0
+    found = [os.path.join(r, f) for r, _, fs in os.walk(out) for f in fs]
+    assert found, "no trace files written"
+
+    rc = main(["profile", "--preset", "sht_ltn", "--mode", "eval",
+               "--steps", "2", "--eval-batch", "4",
+               "--out", str(tmp_path / "trace_eval")] + SMALL)
+    assert rc == 0
