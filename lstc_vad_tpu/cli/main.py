@@ -297,7 +297,36 @@ def cmd_evaluate(args):
                          "scores; it cannot be combined with --per-class or "
                          "--eval-crop mean")
     trainer = Trainer(cfg, eval_only=True)
-    trainer = _load_params(args, trainer)
+    loaded_artifact = None
+    if args.artifact:
+        if args.torch_ckpt or args.ckpt or args.encoder_ckpt \
+                or args.head_ckpt:
+            raise SystemExit("--artifact already contains the params — drop "
+                             "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
+        from ..evaluation.scoring import ArtifactVideoScorer
+        from ..export import load_scorer
+
+        loaded_artifact = load_scorer(args.artifact)
+        if loaded_artifact.meta["kind"] != cfg.head.kind:
+            raise SystemExit(
+                f"artifact head kind {loaded_artifact.meta['kind']!r} does "
+                f"not match the preset's {cfg.head.kind!r}")
+
+        def _use_artifact(scorer, expect_l2: bool):
+            if loaded_artifact.meta.get("l2_normalize", False) != expect_l2:
+                raise SystemExit(
+                    f"this eval path needs l2_normalize={expect_l2} baked "
+                    "into the artifact (export-aot --l2 for the UCF final "
+                    "eval, without it otherwise)")
+            scorer.scorer = ArtifactVideoScorer(loaded_artifact)
+            return scorer
+
+        # UCF LTN final eval ONLY uses ucf_final_scorer() (l2 baked in);
+        # every other path scores through the Trainer's scorer (no l2)
+        if cfg.data.dataset != "UCF" or cfg.model.startswith("stn"):
+            trainer.scorer = _use_artifact(trainer.scorer, expect_l2=False)
+    else:
+        trainer = _load_params(args, trainer)
     params = trainer.state.params
     d = cfg.data
 
@@ -305,9 +334,12 @@ def cmd_evaluate(args):
         # final-eval flags (Test/evaluation_UCF.py): part_len 2, fixed 32
         # bins from n_frames//16, L2-normalized features — shared by the
         # headline AUC and the per-class table
-        return UCFBinnedScorer(trainer.encoder, trainer.head, part_len=2,
-                               n_patch=d.n_patch, max_clips=cfg.max_clips,
-                               l2_normalize=True, tail_rewindow=True)
+        scorer = UCFBinnedScorer(trainer.encoder, trainer.head, part_len=2,
+                                 n_patch=d.n_patch, max_clips=cfg.max_clips,
+                                 l2_normalize=True, tail_rewindow=True)
+        if loaded_artifact is not None:
+            scorer = _use_artifact(scorer, expect_l2=True)
+        return scorer
 
     if args.per_class:
         # per-anomaly-class table (reference eval_utils.py:97-122)
@@ -592,6 +624,10 @@ def main(argv=None):
     p.add_argument("--encoder-ckpt", dest="encoder_ckpt")
     p.add_argument("--head-ckpt", dest="head_ckpt")
     p.add_argument("--torch-ckpt", dest="torch_ckpt", action="store_true")
+    p.add_argument("--artifact",
+                   help="AOT artifact directory (export-aot): evaluate "
+                        "through the serialized programs — params/model "
+                        "code not needed")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("coteach", help="alternating co-teaching rounds")

@@ -113,6 +113,28 @@ class VideoScorer:
         return np.asarray(scores)[:n]
 
 
+class ArtifactVideoScorer:
+    """VideoScorer drop-in backed by an AOT artifact (export.load_scorer):
+    the program and params are already serialized, so ``score_tokens``
+    ignores the ``params`` argument.  Slots into any scorer's ``.scorer``
+    attribute — the whole offline eval stack then runs without flax/model
+    code (CLI ``evaluate --artifact``)."""
+
+    def __init__(self, loaded):
+        self.loaded = loaded
+        self.sharding = None
+
+    def score_tokens(self, params, tokens: np.ndarray) -> np.ndarray:
+        del params
+        tokens = np.asarray(tokens, dtype=np.float32)
+        chunk = BUCKETS[-2]
+        if len(tokens) > chunk:
+            return np.concatenate([
+                self.score_tokens(None, tokens[i:i + chunk])
+                for i in range(0, len(tokens), chunk)])
+        return self.loaded.score(tokens)
+
+
 class ClipScorer:
     """STN: every clip of a video scored in one call
     (cf. Train/spatio_transformer_shanghaitech.py:133-137 per-video call,

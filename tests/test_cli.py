@@ -98,6 +98,26 @@ def test_cli_export_aot(tmp_path, capsys):
     scores = loaded.score(x)
     assert scores.shape == (5,) and np.all((scores >= 0) & (scores <= 1))
 
+    # full offline eval straight from the artifact == eval from the ckpt
+    def auc_line(text):
+        return [ln for ln in text.splitlines() if "auc = " in ln]
+
+    rc = main(["evaluate", "--preset", "sht_stn", "--ckpt", state_dir]
+              + common)
+    assert rc == 0
+    from_ckpt = auc_line(capsys.readouterr().out)
+    rc = main(["evaluate", "--preset", "sht_stn", "--artifact", art]
+              + common)
+    assert rc == 0
+    from_artifact = auc_line(capsys.readouterr().out)
+    assert from_ckpt and from_ckpt == from_artifact
+
+    # artifact + ckpt flags conflict
+    import pytest
+    with pytest.raises(SystemExit, match="already contains the params"):
+        main(["evaluate", "--preset", "sht_stn", "--artifact", art,
+              "--ckpt", state_dir] + common)
+
 
 def test_cli_metrics_jsonl(tmp_path):
     import json
