@@ -18,7 +18,11 @@ The framework re-implements, TPU-first, everything the PyTorch reference
                     UCF 32-bin compression + L2 norm) and the numpy metric zoo.
 - ``pseudo``      — on-device pseudo-label generators and the co-teaching driver.
 - ``parallel``    — device mesh / sharding helpers (DP x TP over ICI).
-- ``ckpt``        — Orbax checkpointing + PyTorch state_dict importer.
+- ``ckpt``        — Orbax checkpointing + PyTorch state_dict importer/exporter.
+- ``export``      — AOT deployment artifacts (jax.export StableHLO + params);
+                    offline eval and online serving run from them without
+                    model code.
+- ``serving``     — online multi-stream scorer (live params or AOT artifact).
 """
 
 __version__ = "0.1.0"
@@ -45,6 +49,10 @@ def __getattr__(name):
         "Trainer": ("lstc_vad_tpu.train.driver", "Trainer"),
         "CoTeachingDriver": ("lstc_vad_tpu.pseudo", "CoTeachingDriver"),
         "StreamingScorer": ("lstc_vad_tpu.serving", "StreamingScorer"),
+        "save_scorer_artifact": ("lstc_vad_tpu.export",
+                                 "save_scorer_artifact"),
+        "load_scorer": ("lstc_vad_tpu.export", "load_scorer"),
+        "validate_data": ("lstc_vad_tpu.data.validate", "validate_data"),
     }
     if name in lazy:
         import importlib
