@@ -188,15 +188,7 @@ def _load_params(args, trainer):
                          "state_dicts (add --torch-ckpt); Orbax checkpoints "
                          "hold both submodules — pass --ckpt DIR")
     elif getattr(args, "ckpt", None):
-        from ..ckpt import load_checkpoint
-
-        try:
-            # AUC-gated saves hold bare params (Trainer.fit)
-            params = load_checkpoint(args.ckpt, params)
-        except (ValueError, KeyError):
-            # --save-state artifacts hold the full TrainState
-            state = load_checkpoint(args.ckpt, trainer.state)
-            params = state.params
+        params = _load_orbax_params(args.ckpt, trainer.state)
     trainer.state = trainer.state.replace(params=params)
     return trainer
 
@@ -311,6 +303,19 @@ def cmd_evaluate(args):
             raise SystemExit(
                 f"artifact head kind {loaded_artifact.meta['kind']!r} does "
                 f"not match the preset's {cfg.head.kind!r}")
+        # fail fast on shape mismatches (a mid-eval ValueError would waste
+        # the whole data-loading/compile setup on remote-attached TPUs)
+        if loaded_artifact.meta["d_model"] != cfg.encoder.d_model:
+            raise SystemExit(
+                f"artifact d_model {loaded_artifact.meta['d_model']} != "
+                f"preset encoder.d_model {cfg.encoder.d_model}")
+        need_len = (cfg.data.n_patch if cfg.model.startswith("stn")
+                    else cfg.data.part_len * cfg.data.n_patch)
+        if need_len not in loaded_artifact.token_lens:
+            raise SystemExit(
+                f"artifact has no program for {need_len}-token parts "
+                f"(token_lens={loaded_artifact.token_lens}); re-export with "
+                "the matching preset/--set shapes")
 
         def _use_artifact(scorer, expect_l2: bool):
             if loaded_artifact.meta.get("l2_normalize", False) != expect_l2:
@@ -445,21 +450,28 @@ def cmd_benchmark(_args):
     return 0
 
 
+def _load_orbax_params(ckpt_dir: str, state):
+    """Orbax checkpoints come in two layouts: AUC-gated saves hold bare
+    params (Trainer.fit), --save-state artifacts hold the full TrainState."""
+    from ..ckpt import load_checkpoint
+
+    try:
+        return load_checkpoint(ckpt_dir, state.params)
+    except (ValueError, KeyError):
+        return load_checkpoint(ckpt_dir, state).params
+
+
 def cmd_export_torch(args):
     """Export an Orbax checkpoint as the two reference-format torch
     state_dict files (encoder + head), so TPU-trained weights can be scored
     by the reference's own scripts
     (Test/evaluation_shanghaitech_ubnormal.py:35-62)."""
     cfg = _apply_common(preset(args.preset), args)
-    from ..ckpt import load_checkpoint
     from ..ckpt.torch_export import save_torch_checkpoint
     from ..train.state import create_train_state
 
     state, _, _, _ = create_train_state(cfg)
-    try:
-        params = load_checkpoint(args.ckpt, state.params)
-    except (ValueError, KeyError):
-        params = load_checkpoint(args.ckpt, state).params
+    params = _load_orbax_params(args.ckpt, state)
     save_torch_checkpoint(params, args.encoder_out, args.head_out,
                           cfg.head.kind, cfg.encoder)
     print(f"wrote {args.encoder_out} and {args.head_out}")
@@ -552,15 +564,16 @@ def cmd_export_aot(args):
     self-contained deployment artifact — loading needs only jax + numpy,
     no model code/config/retrace (lstc_vad_tpu/export.py)."""
     cfg = _apply_common(preset(args.preset), args)
-    from ..ckpt import load_checkpoint
+    if cfg.data.dataset == "UCF" and not cfg.model.startswith("stn"):
+        # same shape override as cmd_evaluate: the UCF final eval builds the
+        # encoder at part_len=2, and its ckpts carry the window_depth=2 RPE
+        # table (Test/evaluation_UCF.py:33,42) — so the artifact must too
+        cfg = replace(cfg, **{"encoder.window_depth": 2, "data.part_len": 2})
     from ..export import save_scorer_artifact
     from ..train.state import create_train_state
 
     state, encoder, head, _ = create_train_state(cfg)
-    try:
-        params = load_checkpoint(args.ckpt, state.params)
-    except (ValueError, KeyError):
-        params = load_checkpoint(args.ckpt, state).params
+    params = _load_orbax_params(args.ckpt, state)
     token_len = (cfg.data.n_patch if cfg.model.startswith("stn")
                  else cfg.data.part_len * cfg.data.n_patch)
     tails = ()

@@ -67,7 +67,15 @@ def validate_data(cfg: TrainConfig) -> Tuple[List[str], dict]:
         if key not in store_keys:
             problems.append(f"{where}: key {key!r} not in the feature store")
             return False
-        shape = store.shape(key)
+        try:
+            shape = store.shape(key)
+        except KeyError:
+            # present under its raw name but not resolvable through the
+            # reference access convention h5[key + '.npy']
+            problems.append(
+                f"{where}: {key!r} is stored without the '.npy' dataset "
+                "suffix (reference convention, utils/load_dataset.py:42)")
+            return False
         if d.ten_crop:
             if int(np.prod(shape)) % (10 * d.n_patch * d.d_model):
                 problems.append(
@@ -113,6 +121,9 @@ def validate_data(cfg: TrainConfig) -> Tuple[List[str], dict]:
             if not check_key(r.key, "train"):
                 continue
             n = clip_count(r.key)
+            if n == 0:
+                problems.append(f"train: {r.key!r} has 0 stored clips")
+                continue
             if n < d.part_len and d.dataset != "UCF":
                 problems.append(
                     f"train: {r.key!r} has {n} clips < part_len="
@@ -126,7 +137,7 @@ def validate_data(cfg: TrainConfig) -> Tuple[List[str], dict]:
                     continue
                 m = np.asarray(entry).shape[0]  # entries are [L] or [L, 2]
                 doubled = n
-                while d.dataset == "UCF" and doubled < d.part_len:
+                while d.dataset == "UCF" and 0 < doubled < d.part_len:
                     doubled *= 2
                 if m not in (n, doubled):
                     problems.append(

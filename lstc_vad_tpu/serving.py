@@ -50,6 +50,14 @@ class StreamingScorer:
 
         loaded = load_scorer(path)
         meta = loaded.meta
+        if meta.get("l2_normalize", False):
+            # online scores must equal the offline part semantics WITHOUT
+            # the UCF final-eval L2 quirk; an --l2 artifact would silently
+            # diverge from the live StreamingScorer
+            raise ValueError(
+                "artifact was exported with --l2 (UCF final-eval feature "
+                "normalize); streaming serves the plain part semantics — "
+                "export without --l2")
         part_len = part_len if part_len is not None else meta.get("part_len")
         if part_len is None:
             raise ValueError("artifact meta has no part_len — pass part_len=")

@@ -390,3 +390,78 @@ def test_cli_profile(tmp_path):
                "--steps", "2", "--eval-batch", "4",
                "--out", str(tmp_path / "trace_eval")] + SMALL)
     assert rc == 0
+
+
+def test_cli_export_aot_ucf_final_eval_shapes(tmp_path, capsys):
+    """export-aot applies the UCF LTN final-eval override (part_len=2,
+    window_depth=2) like cmd_evaluate, so the artifact serves
+    `evaluate --artifact` end-to-end."""
+    from fixtures import make_ucf_like
+
+    h5, train_txt, test_txt, gt_h5 = make_ucf_like(
+        str(tmp_path), n_patch=3, d_model=16, n_clips=(8, 40))
+    small = ["--set", "encoder.d_model=16", "--set", "encoder.d_inner=32",
+             "--set", "encoder.n_head=2", "--set", "encoder.d_k=8",
+             "--set", "encoder.d_v=8", "--set", "encoder.n_layers=1",
+             "--set", "encoder.attn_impl=xla", "--set", "head.d_model=16",
+             "--set", "head.hidden_dim=8", "--set", "data.n_patch=3",
+             "--set", "data.d_model=16", "--set", "data.part_num=4",
+             "--set", "max_clips=8", "--set", "save_threshold=2.0",
+             "--set", "eval_train_split=false",
+             "--set", "loss.temporal_only=true",
+             "--h5", h5, "--train-txt", train_txt, "--test-txt", test_txt,
+             "--mask-h5", gt_h5, "--batch-size", "2"]
+    # train at the final-eval shapes (the reference's released UCF ckpt is
+    # part_len=2-shaped; cmd_evaluate loads ckpts into that skeleton)
+    state_dir = str(tmp_path / "state")
+    rc = main(["train", "--preset", "ucf_ltn", "--epochs", "1",
+               "--save-state", state_dir, "--set", "data.part_len=2",
+               "--set", "encoder.window_depth=2"] + small)
+    assert rc == 0
+    art = str(tmp_path / "artifact")
+    rc = main(["export-aot", "--preset", "ucf_ltn", "--ckpt", state_dir,
+               "--out", art, "--l2", "--platforms", "cpu"] + small)
+    assert rc == 0
+
+    from lstc_vad_tpu.export import load_scorer
+    meta = load_scorer(art).meta
+    assert meta["part_len"] == 2 and meta["token_len"] == 6
+    assert meta["l2_normalize"] is True
+
+    def auc_line(text):
+        return [ln for ln in text.splitlines() if "auc = " in ln]
+
+    rc = main(["evaluate", "--preset", "ucf_ltn", "--ckpt", state_dir,
+               "--set", "data.part_len=2", "--set", "encoder.window_depth=2"]
+              + small)
+    assert rc == 0
+    from_ckpt = auc_line(capsys.readouterr().out)
+    rc = main(["evaluate", "--preset", "ucf_ltn", "--artifact", art] + small)
+    assert rc == 0
+    from_artifact = auc_line(capsys.readouterr().out)
+    assert from_ckpt and from_ckpt == from_artifact
+
+
+def test_cli_evaluate_artifact_shape_guards(tmp_path):
+    """Wrong-shape artifacts die upfront with a SystemExit, not mid-eval."""
+    import pytest
+
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    state_dir = str(tmp_path / "state")
+    rc = main(["train", "--preset", "sht_ltn", "--epochs", "1",
+               "--save-state", state_dir, "--set",
+               "loss.temporal_only=true"] + common)
+    assert rc == 0
+    # artifact exported at part_len=2 shapes (8 tokens), preset needs 12
+    art = str(tmp_path / "artifact")
+    rc = main(["export-aot", "--preset", "sht_ltn", "--ckpt", state_dir,
+               "--out", art, "--platforms", "cpu", "--set",
+               "data.part_len=3"] + common)
+    assert rc == 0
+    with pytest.raises(SystemExit, match="no program for 4-token"):
+        # the part_len=1 override must come after common's part_len=3
+        # (--set applies in order)
+        main(["evaluate", "--preset", "sht_ltn", "--artifact", art] + common
+             + ["--set", "data.part_len=1"])

@@ -169,3 +169,15 @@ def test_serving_from_artifact_matches_live(model, rng, tmp_path):
     live_tail = live.end_stream("cam0")
     aot_tail = aot.end_stream("cam0")
     np.testing.assert_allclose(aot_tail, live_tail, atol=1e-6)
+
+
+def test_from_artifact_rejects_l2(model, tmp_path):
+    from lstc_vad_tpu.export import save_scorer_artifact
+
+    enc, head, params = model
+    art = str(tmp_path / "l2_artifact")
+    save_scorer_artifact(art, enc, head, "classifier", params, 12, 16,
+                         l2_normalize=True, platforms=("cpu",),
+                         extra_meta={"n_patch": 4, "part_len": 3})
+    with pytest.raises(ValueError, match="exported with --l2"):
+        StreamingScorer.from_artifact(art)

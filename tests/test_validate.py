@@ -113,3 +113,36 @@ def test_cli_validate_data(tmp_path, capsys):
         f.write("01_ghost,0\n")
     assert main(args) == 1
     assert "PROBLEM" in capsys.readouterr().out
+
+
+def test_zero_clip_video_reported_not_hung(tmp_path):
+    """A 0-clip UCF video with pseudo labels configured must be reported
+    (previously the short-video doubling loop never terminated)."""
+    h5, train_txt, test_txt, gt_h5 = make_ucf_like(str(tmp_path))
+    with h5py.File(h5, "a") as f:
+        victim = [k for k in f.keys()][0][:-4]
+        del f[victim + ".npy"]
+        f[victim + ".npy"] = np.zeros((0, 3, 16), np.float32)
+    pseudo_path = str(tmp_path / "pseudo.npy")
+    with h5py.File(h5, "r") as f:
+        np.save(pseudo_path, {k: np.zeros(max(f[k].shape[0], 1), np.float32)
+                              for k in f.keys()})
+    cfg = preset("ucf_ltn")
+    data = replace(cfg.data, h5_path=h5, train_txt=train_txt,
+                   test_txt=test_txt, test_mask_h5=gt_h5, n_patch=3,
+                   d_model=16, pseudo_labels_path=pseudo_path)
+    problems, _ = validate_data(replace(cfg, data=data))
+    assert any("0 stored clips" in p for p in problems)
+
+
+def test_suffixless_dataset_reported_not_crash(tmp_path):
+    """A dataset stored without the '.npy' suffix is a PROBLEM line, not an
+    uncaught KeyError."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16)
+    h5, *_ = fixture
+    with h5py.File(h5, "a") as f:
+        arr = f["01_000.npy"][:]
+        del f["01_000.npy"]
+        f["01_000"] = arr
+    problems, _ = validate_data(_sht_cfg(fixture))
+    assert any("without the '.npy' dataset suffix" in p for p in problems)
