@@ -165,6 +165,31 @@ def _add_common(p):
                    help="override any config field, e.g. optim.lr_encoder=3e-4")
 
 
+def _build_mesh(spec: str, n_head: int):
+    """--mesh 'auto' (factor all visible devices into dp x tp) or 'DPxTP'
+    (e.g. 2x4).  Returns a ('data','model') jax Mesh; XLA GSPMD inserts the
+    gradient all-reduce over 'data' and activation collectives over 'model'
+    (parallel/mesh.py)."""
+    import re as _re
+
+    import jax
+
+    from ..parallel.mesh import factor_devices, make_mesh
+
+    if spec == "auto":
+        dp, tp = factor_devices(len(jax.devices()), n_head)
+    else:
+        m = _re.fullmatch(r"(\d+)x(\d+)", spec)
+        if not m:
+            raise SystemExit(
+                f"--mesh must be 'auto' or 'DPxTP' (e.g. 2x4), got {spec!r}")
+        dp, tp = int(m.group(1)), int(m.group(2))
+        if tp > 1 and n_head % tp:
+            raise SystemExit(f"--mesh model axis {tp} must divide the head "
+                             f"count {n_head}")
+    return make_mesh(dp, tp)
+
+
 def _load_params(args, trainer):
     """Load checkpoints over the fresh params.
 
@@ -199,7 +224,12 @@ def cmd_train(args):
     log_config(logger, cfg)
     from ..train.driver import Trainer
 
-    trainer = Trainer(cfg, logger=logger)
+    mesh = (_build_mesh(args.mesh, cfg.encoder.n_head)
+            if getattr(args, "mesh", None) else None)
+    if mesh is not None:
+        logger.info("mesh: data=%d model=%d",
+                    mesh.shape["data"], mesh.shape["model"])
+    trainer = Trainer(cfg, logger=logger, mesh=mesh)
     if args.resume:
         trainer.restore_state(args.resume)
         logger.info("resumed from %s at step %d", args.resume,
@@ -225,7 +255,9 @@ def cmd_gen_pseudo(args):
 
     if args.threshold is None:
         args.threshold = 0.9 if args.kind == "stn" else 0.65
-    trainer = Trainer(cfg, eval_only=True)
+    mesh = (_build_mesh(args.mesh, cfg.encoder.n_head)
+            if getattr(args, "mesh", None) else None)
+    trainer = Trainer(cfg, eval_only=True, mesh=mesh)
     trainer = _load_params(args, trainer)
     d = cfg.data
     store = trainer.store
@@ -288,7 +320,12 @@ def cmd_evaluate(args):
         raise SystemExit("--dump-scores exports the standard per-video eval "
                          "scores; it cannot be combined with --per-class or "
                          "--eval-crop mean")
-    trainer = Trainer(cfg, eval_only=True)
+    mesh = (_build_mesh(args.mesh, cfg.encoder.n_head)
+            if getattr(args, "mesh", None) else None)
+    if mesh is not None and args.artifact:
+        raise SystemExit("--mesh shards the live flax scorer; AOT artifacts "
+                         "run their own serialized partitioning — drop one")
+    trainer = Trainer(cfg, eval_only=True, mesh=mesh)
     loaded_artifact = None
     if args.artifact:
         if args.torch_ckpt or args.ckpt or args.encoder_ckpt \
@@ -603,6 +640,9 @@ def main(argv=None):
 
     p = sub.add_parser("train", help="train STN or LTN (preset decides)")
     _add_common(p)
+    p.add_argument("--mesh", help="'auto' or 'DPxTP' (e.g. 2x4): shard the "
+                                  "train step over a data x model device "
+                                  "mesh")
     p.add_argument("--resume", help="restore full train state (Orbax dir)")
     p.add_argument("--save-state", dest="save_state",
                    help="save full train state after fitting")
@@ -610,6 +650,8 @@ def main(argv=None):
 
     p = sub.add_parser("gen-pseudo", help="generate pseudo labels")
     _add_common(p)
+    p.add_argument("--mesh", help="'auto' or 'DPxTP': shard scoring over a "
+                                  "device mesh")
     p.add_argument("--kind", choices=("stn", "ltn"), required=True)
     p.add_argument("--threshold", type=float, default=None,
                    help="default: 0.9 for stn, 0.65 for ltn (README.md:27,35)")
@@ -623,6 +665,8 @@ def main(argv=None):
 
     p = sub.add_parser("evaluate", help="frame-AUC evaluation")
     _add_common(p)
+    p.add_argument("--mesh", help="'auto' or 'DPxTP': shard scoring over a "
+                                  "device mesh")
     p.add_argument("--dump-scores", dest="dump_scores",
                    help="write per-video frame scores to this .npz")
     p.add_argument("--per-class", dest="per_class", action="store_true",

@@ -465,3 +465,28 @@ def test_cli_evaluate_artifact_shape_guards(tmp_path):
         # (--set applies in order)
         main(["evaluate", "--preset", "sht_ltn", "--artifact", art] + common
              + ["--set", "data.part_len=1"])
+
+
+def test_cli_mesh_train_and_evaluate(tmp_path, capsys):
+    """--mesh 2x2 shards the CLI train step and eval scoring over the
+    virtual device mesh (conftest provides 8 CPU devices)."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    rc = main(["train", "--preset", "sht_stn", "--epochs", "1",
+               "--mesh", "2x2"] + common)
+    assert rc == 0
+
+    rc = main(["evaluate", "--preset", "sht_ltn", "--mesh", "2x2"] + common)
+    assert rc == 0
+    meshed = [ln for ln in capsys.readouterr().out.splitlines()
+              if "auc = " in ln]
+    rc = main(["evaluate", "--preset", "sht_ltn"] + common)
+    assert rc == 0
+    plain = [ln for ln in capsys.readouterr().out.splitlines()
+             if "auc = " in ln]
+    assert meshed == plain  # GSPMD changes layout, not the math
+
+    import pytest
+    with pytest.raises(SystemExit, match="must divide the head count"):
+        main(["evaluate", "--preset", "sht_ltn", "--mesh", "2x3"] + common)
