@@ -465,9 +465,11 @@ def cmd_coteach(args):
     ltn_cfg = _apply_common(preset(args.ltn_preset), args)
     from ..pseudo import CoTeachingDriver
 
+    mesh = (_build_mesh(args.mesh, stn_cfg.encoder.n_head)
+            if getattr(args, "mesh", None) else None)
     driver = CoTeachingDriver(stn_cfg, ltn_cfg, args.workdir,
                               stn_threshold=args.stn_threshold,
-                              ltn_threshold=args.ltn_threshold)
+                              ltn_threshold=args.ltn_threshold, mesh=mesh)
     driver.run(args.rounds, args.stn_epochs, args.ltn_epochs)
     return 0
 
@@ -765,6 +767,8 @@ def _add_common_coteach(p):
     p.add_argument("--batch-size", dest="batch_size", type=int)
     p.add_argument("--seed", type=int)
     p.add_argument("--set", action="append", metavar="PATH=VALUE")
+    p.add_argument("--mesh", help="'auto' or 'DPxTP': shard every round's "
+                                  "step/scoring over a device mesh")
 
 
 if __name__ == "__main__":

@@ -28,9 +28,12 @@ from .generator import (generate_ltn_pseudo_labels, generate_stn_pseudo_labels,
 class CoTeachingDriver:
     def __init__(self, stn_cfg: TrainConfig, ltn_cfg: TrainConfig,
                  workdir: str, stn_threshold: float = 0.9,
-                 ltn_threshold: float = 0.65, logger=None):
+                 ltn_threshold: float = 0.65, logger=None, mesh=None):
+        """``mesh``: optional ('data','model') jax Mesh — every round's
+        Trainer shards its step/scoring over it (train/driver.py)."""
         self.stn_cfg = stn_cfg
         self.ltn_cfg = ltn_cfg
+        self.mesh = mesh
         self.workdir = workdir
         self.stn_threshold = stn_threshold
         self.ltn_threshold = ltn_threshold
@@ -55,7 +58,7 @@ class CoTeachingDriver:
                 # STN script's 32
                 kw["max_clips"] = 21
             cfg = replace(cfg, model="stn_bce", **kw)
-        trainer = Trainer(cfg, logger=self.logger)
+        trainer = Trainer(cfg, logger=self.logger, mesh=self.mesh)
         trainer.fit(epochs=epochs)
         self.last_stn = trainer
         return trainer
@@ -67,7 +70,7 @@ class CoTeachingDriver:
         # re-windowing (Train/spatio_transformer_MIL_CE.py:296)
         cfg = replace(self.ltn_cfg, eval_tail_rewindow=False,
                       **{"data.pseudo_labels_path": self.stn_pseudo_path})
-        trainer = Trainer(cfg, logger=self.logger)
+        trainer = Trainer(cfg, logger=self.logger, mesh=self.mesh)
         trainer.fit(epochs=epochs)
         self.last_ltn = trainer
         return trainer

@@ -41,3 +41,23 @@ def test_mesh_sharded_eval_matches(tmp_path):
     a = plain.evaluate("test")
     b = sharded.evaluate("test")
     assert b == pytest.approx(a, abs=1e-6)
+
+
+def test_coteach_rounds_on_mesh(tmp_path):
+    """A full co-teaching alternation runs with every round's Trainer
+    sharded over a dp x tp mesh (CLI `coteach --mesh`)."""
+    import math
+
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.pseudo import CoTeachingDriver
+    from test_golden_pipeline import _cfg as golden_cfg
+
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30), seed=7)
+    mesh = make_mesh(data=2, model=2)
+    driver = CoTeachingDriver(golden_cfg("stn", fixture, tmp_path),
+                              golden_cfg("ltn", fixture, tmp_path),
+                              str(tmp_path / "work"), stn_threshold=0.5,
+                              ltn_threshold=0.4, mesh=mesh)
+    trainers = driver.run(rounds=2, stn_epochs=1, ltn_epochs=1)
+    assert math.isfinite(trainers[1].evaluate("test"))
