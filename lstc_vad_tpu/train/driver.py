@@ -265,15 +265,20 @@ class Trainer:
 
     # ------------------------------------------------------------ ckpt
 
-    def save_state(self, path: str):
+    def save_state(self, path: str, asynchronous: bool = False):
         """Full resumable state: params + optimizer accumulators + step +
         PRNG key (the reference saves bare state_dicts and restarts its
-        schedule on resume — SURVEY §5 checkpoint/resume)."""
-        save_checkpoint(path, self.state)
+        schedule on resume — SURVEY §5 checkpoint/resume).
+
+        ``asynchronous``: return after the device->host copy; serialization
+        and writes continue in the background (ckpt/orbax_io.py) — used by
+        the periodic autosave so training keeps stepping."""
+        save_checkpoint(path, self.state, asynchronous=asynchronous)
 
     def restore_state(self, path: str):
-        from ..ckpt import load_checkpoint
+        from ..ckpt import load_checkpoint, wait_for_saves
 
+        wait_for_saves()  # a pending autosave may still be writing ``path``
         self.state = load_checkpoint(path, self.state)
 
     def fit(self, epochs: Optional[int] = None,
@@ -287,7 +292,8 @@ class Trainer:
         epochs = cfg.epochs if epochs is None else epochs
         for epoch in range(epochs):
             if autosave_every and epoch and epoch % autosave_every == 0:
-                self.save_state(os.path.join(cfg.model_save_dir, "autosave"))
+                self.save_state(os.path.join(cfg.model_save_dir, "autosave"),
+                                asynchronous=True)
             m = self.train_epoch()
             result.steps += m.pop("batches")
             self.logger.info("[epoch %d] %s", epoch,
@@ -336,6 +342,9 @@ class Trainer:
                     result.best_train_auc, result.best_train_epoch)
                 if on_eval is not None:
                     on_eval(self, result, entry)
+        from ..ckpt import wait_for_saves
+
+        wait_for_saves()  # commit any in-flight autosave before returning
         return result
 
 

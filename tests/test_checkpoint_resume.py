@@ -50,3 +50,34 @@ def test_resume_continues_identically(tmp_path):
                     jax.tree.leaves(resumed.state.params)):
         np.testing.assert_allclose(np.asarray(a), np.asarray(b),
                                    rtol=1e-6, atol=1e-7)
+
+
+def test_async_autosave_restores_exactly(tmp_path):
+    """fit(autosave_every) saves asynchronously (training keeps stepping
+    during the background write); the committed autosave restores the exact
+    state of the epoch it captured."""
+    cfg = e2e._cfg(tmp_path, "stn")
+    t1 = Trainer(cfg)
+    t1.fit(epochs=3, autosave_every=1)  # autosaves at epochs 1 and 2
+
+    import os
+
+    auto = os.path.join(cfg.model_save_dir, "autosave")
+    assert os.path.isdir(auto)
+    t2 = Trainer(e2e._cfg(tmp_path / "b", "stn"))
+    t2.restore_state(auto)
+    # the last autosave fired at the top of epoch 2, i.e. 2 epochs of steps
+    steps_per_epoch = int(t1.state.step) // 3
+    assert int(t2.state.step) == 2 * steps_per_epoch
+
+    # explicit async save + wait also round-trips bit-exactly
+    from lstc_vad_tpu.ckpt import wait_for_saves
+
+    path = str(tmp_path / "async_ckpt")
+    t1.save_state(path, asynchronous=True)
+    wait_for_saves()
+    t3 = Trainer(e2e._cfg(tmp_path / "c", "stn"))
+    t3.restore_state(path)
+    for a, b in zip(jax.tree.leaves(t1.state.params),
+                    jax.tree.leaves(t3.state.params)):
+        np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
