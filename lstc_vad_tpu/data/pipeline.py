@@ -59,15 +59,21 @@ class Prefetcher:
     _SENTINEL = object()
 
     def __init__(self, iterable, depth: int = 2, sharding=None,
-                 to_device: bool = True, feature_dtype=None):
+                 to_device: bool = True, feature_dtype=None,
+                 multiprocess: bool = False):
         """``feature_dtype``: cast batch elements 0 and 2 (the feature
         tensors) before transfer — e.g. ml_dtypes.bfloat16 halves H2D bytes;
-        labels keep their dtype."""
+        labels keep their dtype.
+
+        ``multiprocess``: the sharding spans a multi-host global mesh; each
+        process builds the SAME batch (identical pipeline seeds) and places
+        only its local shards (parallel/multihost.py::to_global)."""
         self.iterable = iterable
         self.depth = depth
         self.sharding = sharding
         self.to_device = to_device
         self.feature_dtype = feature_dtype
+        self.multiprocess = multiprocess
 
     def _put(self, batch):
         if self.feature_dtype is not None and isinstance(batch, tuple):
@@ -77,6 +83,11 @@ class Prefetcher:
         if not self.to_device:
             return batch
         if self.sharding is not None:
+            if self.multiprocess:
+                from ..parallel.multihost import to_global
+
+                return jax.tree.map(
+                    lambda a: to_global(a, self.sharding), batch)
             return jax.tree.map(
                 lambda a: jax.device_put(a, self.sharding), batch)
         return jax.tree.map(jax.device_put, batch)

@@ -108,6 +108,14 @@ class VideoScorer:
             pad = np.zeros((bucket - n,) + tokens.shape[1:], tokens.dtype)
             tokens = np.concatenate([tokens, pad], axis=0)
         if self.sharding is not None:
+            from ..parallel.multihost import (fetch, is_multiprocess,
+                                              to_global)
+
+            if is_multiprocess(self.sharding.mesh):
+                # global mesh: all processes run this same code on the same
+                # tokens; scores come back via allgather
+                tokens = to_global(tokens, self.sharding)
+                return fetch(self._apply(params, tokens))[:n]
             tokens = jax.device_put(tokens, self.sharding)
         scores = self._apply(params, tokens)
         return np.asarray(scores)[:n]

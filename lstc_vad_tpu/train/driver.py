@@ -98,11 +98,20 @@ class Trainer:
             cache=d.eager and not eval_only) if d.test_txt else []
 
         self.state, self.encoder, self.head, self.tx = create_train_state(cfg)
+        self.multiprocess = False
         if mesh is not None:
             from ..parallel.mesh import batch_sharding, state_shardings
+            from ..parallel.multihost import is_multiprocess, to_global
 
-            self.state = jax.device_put(self.state,
-                                        state_shardings(self.state, mesh))
+            shardings = state_shardings(self.state, mesh)
+            if is_multiprocess(mesh):
+                # global mesh across processes: every process runs this same
+                # code on identical seeds; each contributes its local shards
+                self.multiprocess = True
+                self.state = to_global(
+                    jax.tree.map(np.asarray, self.state), shardings)
+            else:
+                self.state = jax.device_put(self.state, shardings)
             if self.sharding is None:
                 self.sharding = batch_sharding(mesh)
         if eval_only:
@@ -222,7 +231,8 @@ class Trainer:
                                              d.transfer_dtype))
         batches = Prefetcher(
             BatchIterator(self.dataset, d.batch_size, drop_last=True),
-            sharding=self.sharding, feature_dtype=feature_dtype)
+            sharding=self.sharding, feature_dtype=feature_dtype,
+            multiprocess=self.multiprocess)
         snippets_per_batch = 2 * d.batch_size * d.part_num * d.part_len
         metrics = {}
         log_every = self.cfg.log_every_step
