@@ -28,6 +28,19 @@ from ..config import PRESETS, TrainConfig, preset, replace
 from ..utils.logging import get_logger, log_config
 
 
+def _maybe_force_platform():
+    """LSTC_VAD_PLATFORM=cpu|tpu: force the jax platform from the
+    environment.  Needed because some site configurations override
+    JAX_PLATFORMS in sitecustomize — jax.config wins over the env var."""
+    import os
+
+    p = os.environ.get("LSTC_VAD_PLATFORM")
+    if p:
+        import jax
+
+        jax.config.update("jax_platforms", p)
+
+
 def _maybe_enable_compile_cache():
     """Opt-in persistent XLA compilation cache: LSTC_VAD_COMPILE_CACHE=<dir>.
 
@@ -224,11 +237,31 @@ def cmd_train(args):
     log_config(logger, cfg)
     from ..train.driver import Trainer
 
-    mesh = (_build_mesh(args.mesh, cfg.encoder.n_head)
-            if getattr(args, "mesh", None) else None)
-    if mesh is not None:
-        logger.info("mesh: data=%d model=%d",
+    if getattr(args, "multihost", None):
+        # BEFORE any other jax use (parallel/distributed.py)
+        from ..parallel.distributed import (initialize_multihost,
+                                            make_global_mesh)
+
+        if args.multihost == "auto":
+            initialize_multihost()  # pod env auto-detection
+        else:
+            if args.num_processes is None or args.process_id is None:
+                raise SystemExit("--multihost COORD:PORT needs "
+                                 "--num-processes and --process-id")
+            initialize_multihost(args.multihost, args.num_processes,
+                                 args.process_id)
+        mesh = make_global_mesh(cfg.encoder.n_head)
+        import jax
+
+        logger.info("multihost: process %d/%d, global mesh data=%d model=%d",
+                    jax.process_index(), jax.process_count(),
                     mesh.shape["data"], mesh.shape["model"])
+    else:
+        mesh = (_build_mesh(args.mesh, cfg.encoder.n_head)
+                if getattr(args, "mesh", None) else None)
+        if mesh is not None:
+            logger.info("mesh: data=%d model=%d",
+                        mesh.shape["data"], mesh.shape["model"])
     trainer = Trainer(cfg, logger=logger, mesh=mesh)
     if args.resume:
         trainer.restore_state(args.resume)
@@ -636,6 +669,7 @@ def cmd_export_aot(args):
 
 
 def main(argv=None):
+    _maybe_force_platform()
     _maybe_enable_compile_cache()
     parser = argparse.ArgumentParser(prog="lstc_vad_tpu")
     sub = parser.add_subparsers(dest="cmd", required=True)
@@ -645,6 +679,13 @@ def main(argv=None):
     p.add_argument("--mesh", help="'auto' or 'DPxTP' (e.g. 2x4): shard the "
                                   "train step over a data x model device "
                                   "mesh")
+    p.add_argument("--multihost", metavar="COORD",
+                   help="multi-process training: jax.distributed coordinator "
+                        "'host:port' (with --num-processes/--process-id), or "
+                        "'auto' for TPU-pod env detection; builds the global "
+                        "mesh over ALL hosts' devices (data axis spans DCN)")
+    p.add_argument("--num-processes", dest="num_processes", type=int)
+    p.add_argument("--process-id", dest="process_id", type=int)
     p.add_argument("--resume", help="restore full train state (Orbax dir)")
     p.add_argument("--save-state", dest="save_state",
                    help="save full train state after fitting")
