@@ -411,7 +411,8 @@ def cmd_evaluate(args):
         # headline AUC and the per-class table
         scorer = UCFBinnedScorer(trainer.encoder, trainer.head, part_len=2,
                                  n_patch=d.n_patch, max_clips=cfg.max_clips,
-                                 l2_normalize=True, tail_rewindow=True)
+                                 l2_normalize=True, tail_rewindow=True,
+                                 sharding=trainer.sharding)
         if loaded_artifact is not None:
             scorer = _use_artifact(scorer, expect_l2=True)
         return scorer
