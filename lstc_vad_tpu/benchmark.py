@@ -130,7 +130,7 @@ def main():
     # free the eval sweep's staged device buffers before the train phase:
     # ~10 GB of parts would otherwise sit in HBM next to the backward's
     # activation temps (~8 GB at bs=40 f32) and OOM the 15.75 GB chip
-    del video_parts, staged, all_parts, one
+    del video_parts, staged, all_parts, one, chunk, out, outs
 
     # --- train step: fwd + bwd + two-group Adagrad, donated state ---
     from lstc_vad_tpu.train.state import create_train_state

@@ -5,16 +5,27 @@ Improves on the reference, which saves only module state_dicts gated on AUC
 (Train/spatio_transformer_shanghaitech.py:180-191) — no optimizer state or
 step, so its resume restarts the schedule; ours resumes exactly.  The
 DataParallel "module." prefix hack (README.md:61) has no equivalent here.
+
+Multi-process (global-mesh) states are supported: every process calls save
+with the same path on a SHARED filesystem (the Orbax requirement); directory
+replacement is done by process 0 only, behind barriers.
+
+Asynchronous saves never destroy the previous committed checkpoint before
+the new one is fully written: the new checkpoint lands in ``<path>.next``
+and is promoted over ``path`` at the next save / ``wait_for_saves()`` —
+so a crash mid-write still leaves a valid checkpoint on disk.
 """
 
 from __future__ import annotations
 
 import os
-from typing import Any, Optional
+import shutil
+from typing import Any, List, Optional, Tuple
 
 import orbax.checkpoint as ocp
 
 _ASYNC_CKPTR: Optional[ocp.AsyncCheckpointer] = None
+_PENDING: List[Tuple[str, str, bool]] = []  # (tmp_path, final_path, multiproc)
 
 
 def _async_ckptr() -> ocp.AsyncCheckpointer:
@@ -24,38 +35,94 @@ def _async_ckptr() -> ocp.AsyncCheckpointer:
     return _ASYNC_CKPTR
 
 
+def _is_multiprocess_state(state: Any) -> bool:
+    import jax
+
+    return any(not getattr(leaf, "is_fully_addressable", True)
+               for leaf in jax.tree.leaves(state))
+
+
+def _remove(path: str, multiproc: bool):
+    """rmtree coordinated across processes: only process 0 touches the
+    shared directory, everyone else waits at the barriers."""
+    if not multiproc:
+        if os.path.exists(path):
+            shutil.rmtree(path)
+        return
+    import jax
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"ckpt_rm_enter:{path}")
+    if jax.process_index() == 0 and os.path.exists(path):
+        shutil.rmtree(path)
+    multihost_utils.sync_global_devices(f"ckpt_rm_exit:{path}")
+
+
+def _promote(tmp: str, final: str, multiproc: bool):
+    """Atomically (process-0-only) replace ``final`` with the committed
+    ``tmp`` checkpoint."""
+    if not multiproc:
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+        return
+    import jax
+    from jax.experimental import multihost_utils
+
+    multihost_utils.sync_global_devices(f"ckpt_promote_enter:{final}")
+    if jax.process_index() == 0:
+        if os.path.exists(final):
+            shutil.rmtree(final)
+        os.replace(tmp, final)
+    multihost_utils.sync_global_devices(f"ckpt_promote_exit:{final}")
+
+
+def _commit_pending():
+    if not _PENDING:
+        return
+    _async_ckptr().wait_until_finished()
+    for tmp, final, multiproc in _PENDING:
+        _promote(tmp, final, multiproc)
+    _PENDING.clear()
+
+
 def save_checkpoint(path: str, state: Any, overwrite: bool = True,
                     asynchronous: bool = False):
-    """``state``: any pytree (TrainState or a bare params dict).
+    """``state``: any pytree (TrainState or a bare params dict), local or
+    global (multi-process) arrays.
 
     ``asynchronous=True``: device->host copies happen now, serialization and
     file writes continue in a background thread — the train loop keeps
-    stepping during periodic autosaves.  Call ``wait_for_saves()`` (or save
-    synchronously once) before reading the directory back."""
+    stepping during periodic autosaves.  The write goes to ``<path>.next``
+    and is promoted over ``path`` on the next save / ``wait_for_saves()``,
+    so the previous committed checkpoint survives a crash mid-write."""
     path = os.path.abspath(path)
+    multiproc = _is_multiprocess_state(state)
     if asynchronous:
-        ckptr = _async_ckptr()
-        ckptr.wait_until_finished()  # at most one save in flight
-    else:
-        ckptr = ocp.StandardCheckpointer()
-    if overwrite and os.path.exists(path):
-        import shutil
-        shutil.rmtree(path)
-    if asynchronous:
-        ckptr.save(path, args=ocp.args.StandardSave(state))
-    else:
-        ckptr.save(path, state)
-        ckptr.wait_until_finished()
+        _commit_pending()  # at most one save in flight; promotes the last
+        tmp = path + ".next"
+        _remove(tmp, multiproc)
+        _async_ckptr().save(tmp, args=ocp.args.StandardSave(state))
+        _PENDING.append((tmp, path, multiproc))
+        return
+    if overwrite:
+        _remove(path, multiproc)
+    ckptr = ocp.StandardCheckpointer()
+    ckptr.save(path, state)
+    ckptr.wait_until_finished()
 
 
 def wait_for_saves():
-    """Block until every pending asynchronous save has committed."""
+    """Block until every pending asynchronous save has committed AND been
+    promoted to its final path."""
     if _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
+    _commit_pending()
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
-    """Restore a pytree; ``target`` provides structure/shape/dtype template."""
+    """Restore a pytree; ``target`` provides structure/shape/dtype template
+    (global-array targets restore sharded)."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     return ckptr.restore(path, target)

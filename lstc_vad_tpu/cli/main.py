@@ -200,6 +200,9 @@ def _build_mesh(spec: str, n_head: int):
         if tp > 1 and n_head % tp:
             raise SystemExit(f"--mesh model axis {tp} must divide the head "
                              f"count {n_head}")
+        if dp * tp > len(jax.devices()):
+            raise SystemExit(f"--mesh {dp}x{tp} needs {dp * tp} devices, "
+                             f"have {len(jax.devices())}")
     return make_mesh(dp, tp)
 
 
@@ -238,6 +241,10 @@ def cmd_train(args):
     from ..train.driver import Trainer
 
     if getattr(args, "multihost", None):
+        if getattr(args, "mesh", None):
+            raise SystemExit("--multihost builds the global mesh itself "
+                             "(model axis auto-factored per host); drop "
+                             "--mesh")
         # BEFORE any other jax use (parallel/distributed.py)
         from ..parallel.distributed import (initialize_multihost,
                                             make_global_mesh)
@@ -304,7 +311,7 @@ def cmd_gen_pseudo(args):
     records = load_train_records(d.dataset, d.train_txt)
     if args.kind == "stn":
         scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch,
-                            kind=cfg.head.kind)
+                            kind=cfg.head.kind, sharding=trainer.sharding)
         pseudo = generate_stn_pseudo_labels(trainer.state.params, scorer,
                                             store, records,
                                             args.threshold)
@@ -312,10 +319,12 @@ def cmd_gen_pseudo(args):
         if d.dataset == "UCF":
             scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
                                      d.part_len, d.n_patch,
-                                     l2_normalize=False, tail_rewindow=False)
+                                     l2_normalize=False, tail_rewindow=False,
+                                     sharding=trainer.sharding)
         else:
             scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
-                                d.n_patch, tail_rewindow=False)
+                                d.n_patch, tail_rewindow=False,
+                                sharding=trainer.sharding)
         pseudo = generate_ltn_pseudo_labels(trainer.state.params, scorer,
                                             store, records,
                                             args.threshold,

@@ -74,6 +74,7 @@ class VideoScorer:
         self.kind = kind
         self.l2_normalize = l2_normalize
         self.sharding = sharding
+        self._multiprocess = None  # derived once on first sharded call
 
     @functools.cached_property
     def _apply(self):
@@ -111,7 +112,9 @@ class VideoScorer:
             from ..parallel.multihost import (fetch, is_multiprocess,
                                               to_global)
 
-            if is_multiprocess(self.sharding.mesh):
+            if self._multiprocess is None:  # scan the mesh devices ONCE
+                self._multiprocess = is_multiprocess(self.sharding.mesh)
+            if self._multiprocess:
                 # global mesh: all processes run this same code on the same
                 # tokens; scores come back via allgather
                 tokens = to_global(tokens, self.sharding)

@@ -65,4 +65,23 @@ assert trainer.multiprocess
 result = trainer.fit(epochs=1)
 loss = result.history[0]["loss"]
 auc = trainer.evaluate("test")
+
+# multiprocess checkpointing: both SHARED-path saves (sync + async with the
+# deferred promote) restore into a fresh global-mesh Trainer
+from lstc_vad_tpu.ckpt import wait_for_saves  # noqa: E402
+
+shared_sync = os.path.join(root, "shared_ckpt")  # same path on both procs
+trainer.save_state(shared_sync)
+shared_async = os.path.join(root, "shared_ckpt_async")
+trainer.save_state(shared_async, asynchronous=True)
+wait_for_saves()
+
+for path in (shared_sync, shared_async):
+    t2 = Trainer(cfg, mesh=mesh, eval_only=True)
+    # eval_only Trainers still build a full state skeleton to restore into
+    t2.restore_state(path)
+    assert int(t2.state.step) == int(trainer.state.step), path
+    auc2 = t2.evaluate("test")
+    assert auc2 == auc, (path, auc2, auc)
+
 print(f"MULTIHOST_TRAINER {loss!r} {auc!r}", flush=True)

@@ -487,6 +487,12 @@ def test_cli_mesh_train_and_evaluate(tmp_path, capsys):
              if "auc = " in ln]
     assert meshed == plain  # GSPMD changes layout, not the math
 
+    out = str(tmp_path / "pseudo.npy")
+    rc = main(["gen-pseudo", "--preset", "sht_stn", "--kind", "stn",
+               "--threshold", "0.5", "--out", out, "--mesh", "2x2"] + common)
+    assert rc == 0
+    assert len(np.load(out, allow_pickle=True).tolist()) == 7
+
     import pytest
     with pytest.raises(SystemExit, match="must divide the head count"):
         main(["evaluate", "--preset", "sht_ltn", "--mesh", "2x3"] + common)
