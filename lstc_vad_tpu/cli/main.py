@@ -500,6 +500,8 @@ def cmd_evaluate(args):
     else:
         auc = result
     print(f"auc = {auc}")
+    trainer._emit_metrics({"kind": "final_eval", "auc": float(auc),
+                           "dataset": d.dataset, "model": cfg.model})
     return 0
 
 

@@ -137,6 +137,12 @@ def test_cli_metrics_jsonl(tmp_path):
     ev = next(ln for ln in lines if ln["kind"] == "eval")
     assert {"auc_test", "auc_train", "epoch"} <= set(ev)
 
+    rc = main(["evaluate", "--preset", "sht_ltn",
+               "--metrics-jsonl", path] + common)
+    assert rc == 0
+    last = json.loads(open(path).read().splitlines()[-1])
+    assert last["kind"] == "final_eval" and 0.0 <= last["auc"] <= 1.0
+
 
 def test_cli_compile_cache_env(tmp_path, monkeypatch):
     """LSTC_VAD_COMPILE_CACHE turns on the persistent XLA cache: the jitted
