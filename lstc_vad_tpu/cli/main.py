@@ -206,6 +206,29 @@ def _build_mesh(spec: str, n_head: int):
     return make_mesh(dp, tp)
 
 
+def _mesh_from_args(args, n_head: int):
+    return (_build_mesh(args.mesh, n_head)
+            if getattr(args, "mesh", None) else None)
+
+
+def _ucf_final_eval_shapes(cfg):
+    """The UCF LTN final eval builds the encoder at part_len=2 and its
+    ckpts carry the window_depth=2 RPE table (Test/evaluation_UCF.py:33,42 +
+    README command --part_len 2) — evaluate and export-aot share this
+    override."""
+    if cfg.data.dataset == "UCF" and not cfg.model.startswith("stn"):
+        return replace(cfg, **{"encoder.window_depth": 2,
+                               "data.part_len": 2})
+    return cfg
+
+
+def _eval_token_len(cfg) -> int:
+    """Sequence length of one eval part: a single clip's patches for STN,
+    part_len clips for LTN."""
+    return (cfg.data.n_patch if cfg.model.startswith("stn")
+            else cfg.data.part_len * cfg.data.n_patch)
+
+
 def _load_params(args, trainer):
     """Load checkpoints over the fresh params.
 
@@ -264,8 +287,7 @@ def cmd_train(args):
                     jax.process_index(), jax.process_count(),
                     mesh.shape["data"], mesh.shape["model"])
     else:
-        mesh = (_build_mesh(args.mesh, cfg.encoder.n_head)
-                if getattr(args, "mesh", None) else None)
+        mesh = _mesh_from_args(args, cfg.encoder.n_head)
         if mesh is not None:
             logger.info("mesh: data=%d model=%d",
                         mesh.shape["data"], mesh.shape["model"])
@@ -295,8 +317,7 @@ def cmd_gen_pseudo(args):
 
     if args.threshold is None:
         args.threshold = 0.9 if args.kind == "stn" else 0.65
-    mesh = (_build_mesh(args.mesh, cfg.encoder.n_head)
-            if getattr(args, "mesh", None) else None)
+    mesh = _mesh_from_args(args, cfg.encoder.n_head)
     trainer = Trainer(cfg, eval_only=True, mesh=mesh)
     trainer = _load_params(args, trainer)
     d = cfg.data
@@ -337,12 +358,7 @@ def cmd_gen_pseudo(args):
 
 
 def cmd_evaluate(args):
-    cfg = _apply_common(preset(args.preset), args)
-    if cfg.data.dataset == "UCF" and not cfg.model.startswith("stn"):
-        # the reference final-eval script builds the encoder at part_len=2
-        # (Test/evaluation_UCF.py:33,42 + README command --part_len 2), so
-        # the relative-PE window and ckpt table shapes follow part_len=2
-        cfg = replace(cfg, **{"encoder.window_depth": 2, "data.part_len": 2})
+    cfg = _ucf_final_eval_shapes(_apply_common(preset(args.preset), args))
     from ..evaluation.drivers import (evaluate_ltn, evaluate_multicrop_mean,
                                       evaluate_stn, evaluate_ucf_ltn,
                                       evaluate_ucf_stn)
@@ -362,8 +378,7 @@ def cmd_evaluate(args):
         raise SystemExit("--dump-scores exports the standard per-video eval "
                          "scores; it cannot be combined with --per-class or "
                          "--eval-crop mean")
-    mesh = (_build_mesh(args.mesh, cfg.encoder.n_head)
-            if getattr(args, "mesh", None) else None)
+    mesh = _mesh_from_args(args, cfg.encoder.n_head)
     if mesh is not None and args.artifact:
         raise SystemExit("--mesh shards the live flax scorer; AOT artifacts "
                          "run their own serialized partitioning — drop one")
@@ -388,8 +403,7 @@ def cmd_evaluate(args):
             raise SystemExit(
                 f"artifact d_model {loaded_artifact.meta['d_model']} != "
                 f"preset encoder.d_model {cfg.encoder.d_model}")
-        need_len = (cfg.data.n_patch if cfg.model.startswith("stn")
-                    else cfg.data.part_len * cfg.data.n_patch)
+        need_len = _eval_token_len(cfg)
         if need_len not in loaded_artifact.token_lens:
             raise SystemExit(
                 f"artifact has no program for {need_len}-token parts "
@@ -510,8 +524,7 @@ def cmd_coteach(args):
     ltn_cfg = _apply_common(preset(args.ltn_preset), args)
     from ..pseudo import CoTeachingDriver
 
-    mesh = (_build_mesh(args.mesh, stn_cfg.encoder.n_head)
-            if getattr(args, "mesh", None) else None)
+    mesh = _mesh_from_args(args, stn_cfg.encoder.n_head)
     driver = CoTeachingDriver(stn_cfg, ltn_cfg, args.workdir,
                               stn_threshold=args.stn_threshold,
                               ltn_threshold=args.ltn_threshold, mesh=mesh)
@@ -597,8 +610,7 @@ def cmd_profile(args):
             state, m = step_fn(state, norm, labs, abnorm, labs)
             return m["loss"]
     else:
-        tokens = (dd.n_patch if cfg.model.startswith("stn")
-                  else dd.part_len * dd.n_patch)
+        tokens = _eval_token_len(cfg)
 
         @jax.jit
         def apply(params, x):
@@ -647,19 +659,13 @@ def cmd_export_aot(args):
     """Serialize the eval scorer (StableHLO program + params) into a
     self-contained deployment artifact — loading needs only jax + numpy,
     no model code/config/retrace (lstc_vad_tpu/export.py)."""
-    cfg = _apply_common(preset(args.preset), args)
-    if cfg.data.dataset == "UCF" and not cfg.model.startswith("stn"):
-        # same shape override as cmd_evaluate: the UCF final eval builds the
-        # encoder at part_len=2, and its ckpts carry the window_depth=2 RPE
-        # table (Test/evaluation_UCF.py:33,42) — so the artifact must too
-        cfg = replace(cfg, **{"encoder.window_depth": 2, "data.part_len": 2})
+    cfg = _ucf_final_eval_shapes(_apply_common(preset(args.preset), args))
     from ..export import save_scorer_artifact
     from ..train.state import create_train_state
 
     state, encoder, head, _ = create_train_state(cfg)
     params = _load_orbax_params(args.ckpt, state)
-    token_len = (cfg.data.n_patch if cfg.model.startswith("stn")
-                 else cfg.data.part_len * cfg.data.n_patch)
+    token_len = _eval_token_len(cfg)
     tails = ()
     if args.tails:
         if cfg.model.startswith("stn"):

@@ -74,6 +74,10 @@ class Prefetcher:
         self.to_device = to_device
         self.feature_dtype = feature_dtype
         self.multiprocess = multiprocess
+        if multiprocess:
+            from ..parallel.multihost import to_global
+
+            self._to_global = to_global
 
     def _put(self, batch):
         if self.feature_dtype is not None and isinstance(batch, tuple):
@@ -84,10 +88,8 @@ class Prefetcher:
             return batch
         if self.sharding is not None:
             if self.multiprocess:
-                from ..parallel.multihost import to_global
-
                 return jax.tree.map(
-                    lambda a: to_global(a, self.sharding), batch)
+                    lambda a: self._to_global(a, self.sharding), batch)
             return jax.tree.map(
                 lambda a: jax.device_put(a, self.sharding), batch)
         return jax.tree.map(jax.device_put, batch)

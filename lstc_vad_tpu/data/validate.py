@@ -183,8 +183,7 @@ def validate_data(cfg: TrainConfig) -> Tuple[List[str], dict]:
                     problems.append(f"test txt {d.test_txt!r}: {e}")
             else:  # UBnormal: same txt format as train, abnormal by prefix
                 try:
-                    recs = [r for r in load_train_records("UBnormal",
-                                                          d.test_txt)]
+                    recs = load_train_records("UBnormal", d.test_txt)
                 except Exception as e:
                     recs = []
                     problems.append(f"test txt {d.test_txt!r}: {e}")

@@ -36,7 +36,7 @@ h5, train_txt, test_txt, mask_dir = make_sht_like(
     fixture_dir, n_patch=4, d_model=16, n_clips=(14, 30), seed=7)
 
 from lstc_vad_tpu.config import (DataConfig, EncoderConfig,  # noqa: E402
-                                 HeadConfig, TrainConfig)
+                                 HeadConfig, LossConfig, TrainConfig)
 from lstc_vad_tpu.train.driver import Trainer  # noqa: E402
 
 cfg = TrainConfig(
@@ -53,8 +53,7 @@ cfg = TrainConfig(
                     batch_size=2, seed=11),
     epochs=1, inter_epoch=1, save_threshold=2.0, eval_train_split=False,
     model_save_dir=os.path.join(fixture_dir, "ckpt"),
-    loss=__import__("lstc_vad_tpu.config", fromlist=["LossConfig"])
-    .LossConfig(temporal_only=True))
+    loss=LossConfig(temporal_only=True))
 
 mesh = make_global_mesh(n_head=cfg.encoder.n_head)
 assert dict(zip(mesh.axis_names, mesh.devices.shape)) == \

@@ -17,6 +17,10 @@ SMALL = ["--set", "encoder.d_model=16", "--set", "encoder.d_inner=32",
          "--set", "save_threshold=2.0"]
 
 
+def _auc_lines(text):
+    return [ln for ln in text.splitlines() if "auc = " in ln]
+
+
 def _common(fixture):
     h5, train_txt, test_txt, mask_dir = fixture
     return ["--h5", h5, "--train-txt", train_txt, "--test-txt", test_txt,
@@ -62,17 +66,14 @@ def test_cli_export_torch_roundtrip(tmp_path, capsys):
                "--encoder-out", enc_out, "--head-out", head_out] + common)
     assert rc == 0
 
-    def auc_line(text):
-        return [ln for ln in text.splitlines() if "auc = " in ln]
-
     rc = main(["evaluate", "--preset", "sht_stn", "--ckpt", state_dir]
               + common)
     assert rc == 0
-    from_orbax = auc_line(capsys.readouterr().out)
+    from_orbax = _auc_lines(capsys.readouterr().out)
     rc = main(["evaluate", "--preset", "sht_stn", "--torch-ckpt",
                "--encoder-ckpt", enc_out, "--head-ckpt", head_out] + common)
     assert rc == 0
-    from_torch = auc_line(capsys.readouterr().out)
+    from_torch = _auc_lines(capsys.readouterr().out)
     assert from_orbax and from_orbax == from_torch
 
 
@@ -99,17 +100,14 @@ def test_cli_export_aot(tmp_path, capsys):
     assert scores.shape == (5,) and np.all((scores >= 0) & (scores <= 1))
 
     # full offline eval straight from the artifact == eval from the ckpt
-    def auc_line(text):
-        return [ln for ln in text.splitlines() if "auc = " in ln]
-
     rc = main(["evaluate", "--preset", "sht_stn", "--ckpt", state_dir]
               + common)
     assert rc == 0
-    from_ckpt = auc_line(capsys.readouterr().out)
+    from_ckpt = _auc_lines(capsys.readouterr().out)
     rc = main(["evaluate", "--preset", "sht_stn", "--artifact", art]
               + common)
     assert rc == 0
-    from_artifact = auc_line(capsys.readouterr().out)
+    from_artifact = _auc_lines(capsys.readouterr().out)
     assert from_ckpt and from_ckpt == from_artifact
 
     # artifact + ckpt flags conflict
@@ -434,17 +432,14 @@ def test_cli_export_aot_ucf_final_eval_shapes(tmp_path, capsys):
     assert meta["part_len"] == 2 and meta["token_len"] == 6
     assert meta["l2_normalize"] is True
 
-    def auc_line(text):
-        return [ln for ln in text.splitlines() if "auc = " in ln]
-
     rc = main(["evaluate", "--preset", "ucf_ltn", "--ckpt", state_dir,
                "--set", "data.part_len=2", "--set", "encoder.window_depth=2"]
               + small)
     assert rc == 0
-    from_ckpt = auc_line(capsys.readouterr().out)
+    from_ckpt = _auc_lines(capsys.readouterr().out)
     rc = main(["evaluate", "--preset", "ucf_ltn", "--artifact", art] + small)
     assert rc == 0
-    from_artifact = auc_line(capsys.readouterr().out)
+    from_artifact = _auc_lines(capsys.readouterr().out)
     assert from_ckpt and from_ckpt == from_artifact
 
 
