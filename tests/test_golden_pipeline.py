@@ -161,3 +161,48 @@ def test_golden_pipeline_auc(tmp_path):
         assert got[key] == pytest.approx(want, abs=1e-6), (
             f"{key}: got {got[key]!r}, golden {want!r} — a reproduced "
             "reference semantic changed (see module docstring)")
+
+
+# frozen on 2026-08-16 (jax CPU, f32, dropout_rng=rbg)
+GOLDEN_TENCROP = {"crop0": 0.5321792503426495, "mean": 0.5795488404093374}
+
+
+def test_golden_tencrop_auc(tmp_path):
+    """tenCrop quirk sites pinned: pair-shared train crop draw
+    (utils/load_dataset.py:223-225), fixed-crop eval (data.eval_crop), and
+    the opt-in 10-crop-averaged eval."""
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.evaluation.drivers import (evaluate_multicrop_mean,
+                                                 evaluate_stn)
+    from lstc_vad_tpu.train.driver import Trainer
+
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30), seed=7, ten_crop=True)
+    h5_path, train_txt, test_txt, mask_dir = fixture
+    enc = EncoderConfig(ffn_layernorm=True, weight_init=True, **SMALL_ENC)
+    cfg = TrainConfig(
+        model="stn", encoder=enc,
+        head=HeadConfig(kind="regressor", d_model=16, hidden_dim=8), seed=3,
+        data=DataConfig(dataset="SHT", h5_path=h5_path, train_txt=train_txt,
+                        test_txt=test_txt, test_mask_dir=mask_dir + "/",
+                        n_patch=4, d_model=16, part_num=4, part_len=3,
+                        batch_size=2, seed=11, ten_crop=True, eval_crop=0),
+        epochs=2, inter_epoch=10, save_threshold=2.0, eval_train_split=False,
+        model_save_dir=str(tmp_path / "ckpt"))
+    trainer = Trainer(cfg)
+    trainer.fit(epochs=2)
+    got = {"crop0": trainer.evaluate("test")}
+
+    for v in trainer.test_videos:
+        v.cache = True
+
+    def items_for_crop(c):
+        return [((lambda v=v, c=c: v.feat[:, c]), v.anno)
+                for v in trainer.test_videos]
+
+    got["mean"] = evaluate_multicrop_mean(
+        evaluate_stn, trainer.state.params, trainer.scorer, items_for_crop,
+        cfg.data.segment_len)
+    print({k: repr(v) for k, v in got.items()})
+    for key, want in GOLDEN_TENCROP.items():
+        assert got[key] == pytest.approx(want, abs=1e-6), (key, got[key])
