@@ -211,6 +211,33 @@ def _mesh_from_args(args, n_head: int):
             if getattr(args, "mesh", None) else None)
 
 
+def _multihost_mesh(args, n_head: int, logger=None):
+    """--multihost: jax.distributed init (BEFORE any other jax use) + the
+    global ('data','model') mesh over all hosts' devices."""
+    if getattr(args, "mesh", None):
+        raise SystemExit("--multihost builds the global mesh itself (model "
+                         "axis auto-factored per host); drop --mesh")
+    from ..parallel.distributed import (initialize_multihost,
+                                        make_global_mesh)
+
+    if args.multihost == "auto":
+        initialize_multihost()  # pod env auto-detection
+    else:
+        if args.num_processes is None or args.process_id is None:
+            raise SystemExit("--multihost COORD:PORT needs "
+                             "--num-processes and --process-id")
+        initialize_multihost(args.multihost, args.num_processes,
+                             args.process_id)
+    mesh = make_global_mesh(n_head)
+    if logger is not None:
+        import jax
+
+        logger.info("multihost: process %d/%d, global mesh data=%d model=%d",
+                    jax.process_index(), jax.process_count(),
+                    mesh.shape["data"], mesh.shape["model"])
+    return mesh
+
+
 def _ucf_final_eval_shapes(cfg):
     """The UCF LTN final eval builds the encoder at part_len=2 and its
     ckpts carry the window_depth=2 RPE table (Test/evaluation_UCF.py:33,42 +
@@ -264,28 +291,7 @@ def cmd_train(args):
     from ..train.driver import Trainer
 
     if getattr(args, "multihost", None):
-        if getattr(args, "mesh", None):
-            raise SystemExit("--multihost builds the global mesh itself "
-                             "(model axis auto-factored per host); drop "
-                             "--mesh")
-        # BEFORE any other jax use (parallel/distributed.py)
-        from ..parallel.distributed import (initialize_multihost,
-                                            make_global_mesh)
-
-        if args.multihost == "auto":
-            initialize_multihost()  # pod env auto-detection
-        else:
-            if args.num_processes is None or args.process_id is None:
-                raise SystemExit("--multihost COORD:PORT needs "
-                                 "--num-processes and --process-id")
-            initialize_multihost(args.multihost, args.num_processes,
-                                 args.process_id)
-        mesh = make_global_mesh(cfg.encoder.n_head)
-        import jax
-
-        logger.info("multihost: process %d/%d, global mesh data=%d model=%d",
-                    jax.process_index(), jax.process_count(),
-                    mesh.shape["data"], mesh.shape["model"])
+        mesh = _multihost_mesh(args, cfg.encoder.n_head, logger)
     else:
         mesh = _mesh_from_args(args, cfg.encoder.n_head)
         if mesh is not None:
@@ -524,7 +530,10 @@ def cmd_coteach(args):
     ltn_cfg = _apply_common(preset(args.ltn_preset), args)
     from ..pseudo import CoTeachingDriver
 
-    mesh = _mesh_from_args(args, stn_cfg.encoder.n_head)
+    if getattr(args, "multihost", None):
+        mesh = _multihost_mesh(args, stn_cfg.encoder.n_head)
+    else:
+        mesh = _mesh_from_args(args, stn_cfg.encoder.n_head)
     driver = CoTeachingDriver(stn_cfg, ltn_cfg, args.workdir,
                               stn_threshold=args.stn_threshold,
                               ltn_threshold=args.ltn_threshold, mesh=mesh)
@@ -828,6 +837,11 @@ def _add_common_coteach(p):
     p.add_argument("--set", action="append", metavar="PATH=VALUE")
     p.add_argument("--mesh", help="'auto' or 'DPxTP': shard every round's "
                                   "step/scoring over a device mesh")
+    p.add_argument("--multihost", metavar="COORD",
+                   help="multi-process co-teaching: coordinator 'host:port' "
+                        "(with --num-processes/--process-id) or 'auto'")
+    p.add_argument("--num-processes", dest="num_processes", type=int)
+    p.add_argument("--process-id", dest="process_id", type=int)
 
 
 if __name__ == "__main__":

@@ -38,6 +38,11 @@ class CoTeachingDriver:
         self.stn_threshold = stn_threshold
         self.ltn_threshold = ltn_threshold
         self.logger = logger or get_logger("coteach")
+        self._multiprocess = False
+        if mesh is not None:
+            from ..parallel.multihost import is_multiprocess
+
+            self._multiprocess = is_multiprocess(mesh)
         os.makedirs(workdir, exist_ok=True)
         self.stn_pseudo_path = os.path.join(workdir, "stn_pseudo.npy")
         self.ltn_pseudo_path = os.path.join(workdir, "ltn_pseudo.npy")
@@ -90,13 +95,14 @@ class CoTeachingDriver:
     def generate_stn_pseudo(self, trainer: Trainer):
         d = trainer.cfg.data
         records = load_train_records(d.dataset, d.train_txt)
-        scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch)
+        scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch,
+                            sharding=trainer.sharding)
         params = (trainer.best_params if trainer.best_params is not None
                   else trainer.state.params)
         pseudo = generate_stn_pseudo_labels(
             params, scorer, self._pseudo_store(trainer),
             records, self.stn_threshold)
-        save_pseudo_labels(self.stn_pseudo_path, pseudo)
+        self._save_pseudo(self.stn_pseudo_path, pseudo)
         self.logger.info("STN pseudo labels -> %s", self.stn_pseudo_path)
 
     def generate_ltn_pseudo(self, trainer: Trainer):
@@ -105,18 +111,35 @@ class CoTeachingDriver:
         if d.dataset == "UCF":
             scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
                                      d.part_len, d.n_patch,
-                                     l2_normalize=False, tail_rewindow=False)
+                                     l2_normalize=False, tail_rewindow=False,
+                                     sharding=trainer.sharding)
         else:
             scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
-                                d.n_patch, tail_rewindow=False)
+                                d.n_patch, tail_rewindow=False,
+                                sharding=trainer.sharding)
         params = (trainer.best_params if trainer.best_params is not None
                   else trainer.state.params)
         pseudo = generate_ltn_pseudo_labels(
             params, scorer, self._pseudo_store(trainer),
             records, self.ltn_threshold, dataset=d.dataset,
             segment_len=d.segment_len)
-        save_pseudo_labels(self.ltn_pseudo_path, pseudo)
+        self._save_pseudo(self.ltn_pseudo_path, pseudo)
         self.logger.info("LTN pseudo labels -> %s", self.ltn_pseudo_path)
+
+    def _save_pseudo(self, path: str, pseudo):
+        """On a multi-process global mesh every process computes the SAME
+        dict (allgathered scorers over seed-identical pipelines); only
+        process 0 writes the shared artifact, and everyone barriers before
+        the next round's Trainer loads it."""
+        if not self._multiprocess:
+            save_pseudo_labels(path, pseudo)
+            return
+        import jax
+        from jax.experimental import multihost_utils
+
+        if jax.process_index() == 0:
+            save_pseudo_labels(path, pseudo)
+        multihost_utils.sync_global_devices(f"pseudo_saved:{path}")
 
     # ------------------------------------------------------------ loop
 

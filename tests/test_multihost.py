@@ -156,3 +156,38 @@ def test_two_process_cli_train(tmp_path):
         assert lines, out
         aucs.append(lines[-1].split("best test AUC")[-1])
     assert aucs[0] == aucs[1], aucs
+
+
+@pytest.mark.slow
+def test_two_process_multihost_coteach(tmp_path):
+    """Co-teaching alternation on a 2-process global mesh: process 0 writes
+    the shared pseudo-label artifacts behind barriers, both rounds train,
+    final AUC identical across processes (multihost_coteach_worker.py)."""
+    port = _free_port()
+    worker = os.path.join(os.path.dirname(__file__),
+                          "multihost_coteach_worker.py")
+    env = dict(os.environ)
+    repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+    env["PYTHONPATH"] = repo + os.pathsep + env.get("PYTHONPATH", "")
+    procs = [subprocess.Popen(
+        [sys.executable, worker, str(port), str(i), str(tmp_path)],
+        stdout=subprocess.PIPE, stderr=subprocess.STDOUT, text=True, env=env)
+        for i in range(2)]
+    outs = []
+    for p in procs:
+        try:
+            out, _ = p.communicate(timeout=300)
+        except subprocess.TimeoutExpired:
+            for q in procs:
+                q.kill()
+            raise
+        outs.append(out)
+    for i, (p, out) in enumerate(zip(procs, outs)):
+        assert p.returncode == 0, f"process {i} failed:\n{out}"
+    aucs = []
+    for out in outs:
+        lines = [ln for ln in out.splitlines()
+                 if ln.startswith("MULTIHOST_COTEACH ")]
+        assert lines, out
+        aucs.append(float(lines[-1].split()[-1]))
+    assert np.isfinite(aucs).all() and aucs[0] == aucs[1], aucs
