@@ -461,6 +461,9 @@ def cmd_evaluate(args):
             params, ucf_final_scorer(), items, classes, d.segment_len,
             n_anomaly_classes=args.n_anomaly_classes)
         print(f"Normal FAR {far:.4f}, mean PR-AUC {mean_ap:.4f}")
+        trainer._emit_metrics({"kind": "per_class_eval", "far": float(far),
+                               "mean_pr_auc": float(mean_ap),
+                               "dataset": d.dataset})
         return 0
     if args.eval_crop == "mean":
         # 10-crop averaged eval over the tenCrop test loaders
@@ -484,6 +487,9 @@ def cmd_evaluate(args):
         auc = evaluate_multicrop_mean(fn, params, trainer.scorer,
                                       items_for_crop, d.segment_len)
         print(f"auc = {auc}")
+        trainer._emit_metrics({"kind": "final_eval", "auc": float(auc),
+                               "dataset": d.dataset, "model": cfg.model,
+                               "eval_crop": "mean"})
         return 0
     if d.dataset == "UCF":
         items = [(trainer._lazy_feat(v), v.anno,

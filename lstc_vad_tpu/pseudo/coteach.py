@@ -38,11 +38,6 @@ class CoTeachingDriver:
         self.stn_threshold = stn_threshold
         self.ltn_threshold = ltn_threshold
         self.logger = logger or get_logger("coteach")
-        self._multiprocess = False
-        if mesh is not None:
-            from ..parallel.multihost import is_multiprocess
-
-            self._multiprocess = is_multiprocess(mesh)
         os.makedirs(workdir, exist_ok=True)
         self.stn_pseudo_path = os.path.join(workdir, "stn_pseudo.npy")
         self.ltn_pseudo_path = os.path.join(workdir, "ltn_pseudo.npy")
@@ -102,7 +97,8 @@ class CoTeachingDriver:
         pseudo = generate_stn_pseudo_labels(
             params, scorer, self._pseudo_store(trainer),
             records, self.stn_threshold)
-        self._save_pseudo(self.stn_pseudo_path, pseudo)
+        self._save_pseudo(self.stn_pseudo_path, pseudo,
+                          trainer.multiprocess)
         self.logger.info("STN pseudo labels -> %s", self.stn_pseudo_path)
 
     def generate_ltn_pseudo(self, trainer: Trainer):
@@ -123,15 +119,18 @@ class CoTeachingDriver:
             params, scorer, self._pseudo_store(trainer),
             records, self.ltn_threshold, dataset=d.dataset,
             segment_len=d.segment_len)
-        self._save_pseudo(self.ltn_pseudo_path, pseudo)
+        self._save_pseudo(self.ltn_pseudo_path, pseudo,
+                          trainer.multiprocess)
         self.logger.info("LTN pseudo labels -> %s", self.ltn_pseudo_path)
 
-    def _save_pseudo(self, path: str, pseudo):
+    def _save_pseudo(self, path: str, pseudo, multiprocess: bool):
         """On a multi-process global mesh every process computes the SAME
         dict (allgathered scorers over seed-identical pipelines); only
         process 0 writes the shared artifact, and everyone barriers before
-        the next round's Trainer loads it."""
-        if not self._multiprocess:
+        the next round's Trainer loads it.  ``multiprocess`` comes from the
+        round's Trainer (the single source of the mesh-spans-processes
+        decision)."""
+        if not multiprocess:
             save_pseudo_labels(path, pseudo)
             return
         import jax

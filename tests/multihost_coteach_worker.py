@@ -44,7 +44,7 @@ driver = CoTeachingDriver(golden_cfg("stn", fixture, tmp),
                           golden_cfg("ltn", fixture, tmp),
                           os.path.join(root, "shared_work"),
                           stn_threshold=0.5, ltn_threshold=0.4, mesh=mesh)
-assert driver._multiprocess
 trainers = driver.run(rounds=2, stn_epochs=1, ltn_epochs=1)
+assert trainers[0].multiprocess
 auc = trainers[1].evaluate("test")
 print(f"MULTIHOST_COTEACH {auc!r}", flush=True)
