@@ -651,6 +651,59 @@ def cmd_profile(args):
     return 0
 
 
+def cmd_sweep(args):
+    """Grid search over config fields: the reference's workflow of hand-
+    tuning ~60 argparse flags across runs
+    (Train/temporal_transformer_shanghaitech.py:257-323), automated.  Each
+    --grid PATH=v1,v2,... axis is typed like --set; the cartesian product
+    trains fresh models and the ranked AUCs are printed and appended as
+    JSON lines to --out."""
+    import itertools
+    import json
+
+    base = _apply_common(preset(args.preset), args)
+    axes = []
+    for item in args.grid or []:
+        path, _, raw = item.partition("=")
+        values = [v for v in raw.split(",") if v]
+        if not values:
+            raise SystemExit(f"--grid {path}: needs at least one value")
+        axes.append((path, [_coerce(base, path, v) for v in values]))
+    if not axes:
+        raise SystemExit("sweep needs at least one --grid PATH=v1,v2,...")
+
+    from ..train.driver import Trainer
+
+    mesh = _mesh_from_args(args, base.encoder.n_head)
+    results = []
+    combos = list(itertools.product(*(vals for _, vals in axes)))
+    for i, combo in enumerate(combos):
+        overrides = {path: val for (path, _), val in zip(axes, combo)}
+        cfg = base
+        for path, val in overrides.items():
+            cfg = replace(cfg, **{path: val})
+        trainer = Trainer(cfg, mesh=mesh)
+        r = trainer.fit(epochs=args.epochs)
+        gate = (r.best_train_auc if cfg.eval_train_split else r.best_test_auc)
+        rec = {"run": i, **overrides, "best_test_auc": r.best_test_auc,
+               "best_test_epoch": r.best_test_epoch,
+               "best_train_auc": r.best_train_auc, "gate_auc": gate}
+        results.append(rec)
+        print(f"[sweep {i + 1}/{len(combos)}] {overrides} -> "
+              f"test {r.best_test_auc:.4f}")
+        if args.out:
+            with open(args.out, "a") as f:
+                f.write(json.dumps(rec) + "\n")
+    results.sort(key=lambda r: -r["best_test_auc"])
+    print("rank  test_auc  overrides")
+    for rank, rec in enumerate(results, 1):
+        overrides = {k: v for k, v in rec.items()
+                     if k not in ("run", "best_test_auc", "best_test_epoch",
+                                  "best_train_auc", "gate_auc")}
+        print(f"{rank:>4}  {rec['best_test_auc']:.4f}  {overrides}")
+    return 0
+
+
 def cmd_validate_data(args):
     """Walk every data artifact the config points at and report ALL
     inconsistencies (missing keys/masks, shape mismatches, short videos,
@@ -789,6 +842,17 @@ def main(argv=None):
     p.add_argument("--eval-batch", dest="eval_batch", type=int, default=1024)
     p.add_argument("--out", required=True, help="trace log directory")
     p.set_defaults(fn=cmd_profile)
+
+    p = sub.add_parser("sweep",
+                       help="grid search: train every combination of "
+                            "--grid PATH=v1,v2,... overrides, rank by AUC")
+    _add_common(p)
+    p.add_argument("--grid", action="append", metavar="PATH=V1,V2,...",
+                   help="config axis to sweep (typed like --set); repeat "
+                        "for a cartesian product")
+    p.add_argument("--mesh", help="'auto' or 'DPxTP': shard every run")
+    p.add_argument("--out", help="append one JSON line per run")
+    p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("validate-data",
                        help="check h5/pack, annotation txts, frame masks and "

@@ -497,3 +497,29 @@ def test_cli_mesh_train_and_evaluate(tmp_path, capsys):
     import pytest
     with pytest.raises(SystemExit, match="must divide the head count"):
         main(["evaluate", "--preset", "sht_ltn", "--mesh", "2x3"] + common)
+
+
+def test_cli_sweep(tmp_path, capsys):
+    """sweep trains the cartesian grid, ranks by AUC, writes JSONL."""
+    import json
+
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    out = str(tmp_path / "sweep.jsonl")
+    rc = main(["sweep", "--preset", "sht_stn", "--epochs", "1",
+               "--grid", "optim.lr_head=1e-2,3e-2",
+               "--grid", "loss.lambda_1=0.01,0.1",
+               "--out", out] + common)
+    assert rc == 0
+    lines = [json.loads(ln) for ln in open(out)]
+    assert len(lines) == 4  # 2 x 2 grid
+    assert {"optim.lr_head", "loss.lambda_1", "best_test_auc"} <= set(lines[0])
+    assert len({(ln["optim.lr_head"], ln["loss.lambda_1"])
+                for ln in lines}) == 4
+    text = capsys.readouterr().out
+    assert "rank  test_auc  overrides" in text
+
+    import pytest
+    with pytest.raises(SystemExit, match="at least one --grid"):
+        main(["sweep", "--preset", "sht_stn", "--epochs", "1"] + common)
