@@ -491,6 +491,11 @@ def cmd_evaluate(args):
                                "dataset": d.dataset, "model": cfg.model,
                                "eval_crop": "mean"})
         return 0
+    rl = bool(args.bootstrap)
+    if rl and d.dataset == "UCF" and cfg.model.startswith("stn"):
+        raise SystemExit("--bootstrap is unavailable for the UCF STN eval "
+                         "(its scores assemble per bin, not per video)")
+    want = dict(return_scores=bool(args.dump_scores), return_labels=rl)
     if d.dataset == "UCF":
         items = [(trainer._lazy_feat(v), v.anno,
                   v.n_frames // d.segment_len)
@@ -502,32 +507,43 @@ def cmd_evaluate(args):
                                       return_scores=bool(args.dump_scores))
         else:
             result = evaluate_ucf_ltn(params, ucf_final_scorer(), items,
-                                      d.segment_len,
-                                      return_scores=bool(args.dump_scores))
+                                      d.segment_len, **want)
     else:
         # SHT/UBnormal final eval == the in-training eval semantics; reuse
         # the Trainer's scorer and item building
         items = trainer._test_items()
         if cfg.model.startswith("stn"):
             result = evaluate_stn(params, trainer.scorer, items,
-                                  d.segment_len,
-                                  return_scores=bool(args.dump_scores))
+                                  d.segment_len, **want)
         else:
             result = evaluate_ltn(params, trainer.scorer, items,
-                                  d.segment_len,
-                                  return_scores=bool(args.dump_scores))
+                                  d.segment_len, **want)
+    per_video = per_labels = None
+    if rl:
+        auc, per_video, per_labels = result
+    elif args.dump_scores:
+        auc, per_video = result
+    else:
+        auc = result
     if args.dump_scores:
         import numpy as np
 
-        auc, per_video = result
         np.savez(args.dump_scores,
                  **{v.key: s for v, s in zip(trainer.test_videos, per_video)})
         print(f"frame scores -> {args.dump_scores}")
-    else:
-        auc = result
     print(f"auc = {auc}")
-    trainer._emit_metrics({"kind": "final_eval", "auc": float(auc),
-                           "dataset": d.dataset, "model": cfg.model})
+    record = {"kind": "final_eval", "auc": float(auc),
+              "dataset": d.dataset, "model": cfg.model}
+    if rl:
+        from ..evaluation.metrics import bootstrap_auc_ci
+
+        lo, hi = bootstrap_auc_ci(per_video, per_labels,
+                                  n_boot=args.bootstrap)
+        print(f"95% CI [{lo:.4f}, {hi:.4f}] "
+              f"({args.bootstrap} video-level bootstrap resamples)")
+        record |= {"auc_ci_lo": lo, "auc_ci_hi": hi,
+                   "n_bootstrap": args.bootstrap}
+    trainer._emit_metrics(record)
     return 0
 
 
@@ -814,6 +830,9 @@ def main(argv=None):
                    help="AOT artifact directory (export-aot): evaluate "
                         "through the serialized programs — params/model "
                         "code not needed")
+    p.add_argument("--bootstrap", type=int, metavar="N",
+                   help="report a 95%% CI from N video-level bootstrap "
+                        "resamples alongside the point AUC")
     p.set_defaults(fn=cmd_evaluate)
 
     p = sub.add_parser("coteach", help="alternating co-teaching rounds")

