@@ -1,0 +1,141 @@
+"""Parity against the REFERENCE'S OWN torch modules.
+
+Imports /root/reference (read-only) and checks both checkpoint directions
+against the genuine models/Encoder.py + heads — stronger than the
+re-implemented oracle in torch_oracle.py, because nothing on the torch side
+is ours:
+
+- export: our flax params -> torch state_dict STRICT-loads into the
+  reference Encoder/Classifier/Regressor and the reference forward matches
+  our flax forward;
+- import: a reference module's own state_dict -> our importer -> our flax
+  forward matches the reference forward.
+
+Skipped when the reference checkout is not mounted.
+"""
+
+import os
+import sys
+
+import numpy as np
+import pytest
+import torch
+
+import jax
+
+from lstc_vad_tpu.ckpt.torch_export import export_encoder, export_head
+from lstc_vad_tpu.ckpt.torch_import import import_encoder, import_head
+from lstc_vad_tpu.config import EncoderConfig
+from lstc_vad_tpu.models import Encoder, make_head
+
+REF = "/root/reference"
+pytestmark = pytest.mark.skipif(
+    not os.path.isdir(os.path.join(REF, "models")),
+    reason="reference repo not mounted at /root/reference")
+
+CFG = EncoderConfig(d_model=32, d_inner=48, n_head=2, d_k=8, d_v=8,
+                    n_layers=2, mha_layernorm=True, ffn_layernorm=True,
+                    input_layernorm=True, relative_pe=True, window_size=4,
+                    window_depth=3, cls_learned=True, position_encoding=True,
+                    max_position_tokens=25, attn_impl="xla")
+
+
+@pytest.fixture(scope="module")
+def ref_models():
+    sys.path.insert(0, REF)
+    try:
+        from models.Classifier import Classifier as RefClassifier
+        from models.Encoder import Encoder as RefEncoder
+        from models.Regressor import Regressor as RefRegressor
+
+        yield RefEncoder, RefClassifier, RefRegressor
+    finally:
+        sys.path.remove(REF)
+
+
+def _ref_encoder(RefEncoder, weight_init: bool):
+    return RefEncoder(n_layers=2, n_head=2, d_k=8, d_v=8, d_model=32,
+                      d_inner=48, MHA_layerNorm=True, FFN_layerNorm=True,
+                      weight_init=weight_init, CLS_learned=True,
+                      position_encoding=True, max_position_tokens=25,
+                      relative_pe=True, window_size=4, window_depth=3,
+                      input_layerNorm=True)
+
+
+def test_export_strict_loads_into_reference_encoder(ref_models, rng):
+    RefEncoder, _, _ = ref_models
+    enc = Encoder(CFG)
+    x = rng.standard_normal((3, 24, 32)).astype(np.float32)
+    params = jax.tree.map(np.asarray,
+                          enc.init(jax.random.PRNGKey(0), x))["params"]
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in export_encoder(params, CFG).items()}
+
+    ref = _ref_encoder(RefEncoder, weight_init=False)
+    ref.load_state_dict(sd, strict=True)  # every key AND buffer present
+    ref.eval()
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)).numpy()
+    ours = np.asarray(enc.apply({"params": params}, x, deterministic=True))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-4)
+
+
+def test_import_reference_encoder_state_dict(ref_models, rng):
+    RefEncoder, _, _ = ref_models
+    torch.manual_seed(0)
+    ref = _ref_encoder(RefEncoder, weight_init=True)
+    ref.eval()
+    x = rng.standard_normal((2, 24, 32)).astype(np.float32)
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)).numpy()
+
+    enc = Encoder(CFG)
+    params = jax.tree.map(np.asarray,
+                          enc.init(jax.random.PRNGKey(1), x))["params"]
+    report = {"loaded": [], "skipped": []}
+    sd = {k: v.detach().numpy() for k, v in ref.state_dict().items()}
+    imported = import_encoder(sd, params, report)
+    assert not report["skipped"], report["skipped"]
+    ours = np.asarray(enc.apply({"params": imported}, x, deterministic=True))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-4)
+
+
+@pytest.mark.parametrize("kind", ["classifier", "regressor"])
+def test_heads_roundtrip_against_reference(ref_models, rng, kind):
+    _, RefClassifier, RefRegressor = ref_models
+    # the reference Classifier hardcodes its 512 hidden dim
+    hidden = 512 if kind == "classifier" else 16
+    head = make_head(kind, 32, hidden)
+    x = rng.standard_normal((5, 32)).astype(np.float32)
+    params = jax.tree.map(np.asarray,
+                          head.init(jax.random.PRNGKey(0), x))["params"]
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in export_head(params, kind).items()}
+
+    if kind == "classifier":
+        ref = RefClassifier(32, weight_init=False)
+    else:
+        ref = RefRegressor(32, hidden_dim=hidden, weight_init=False)
+    ref.load_state_dict(sd, strict=True)
+    ref.eval()
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)).numpy()
+    ours = np.asarray(head.apply({"params": params}, x, deterministic=True))
+    np.testing.assert_allclose(ours, theirs, rtol=1e-5, atol=1e-6)
+
+    # reverse: the reference module's state_dict through our importer
+    torch.manual_seed(1)
+    if kind == "classifier":
+        ref2 = RefClassifier(32, weight_init=True)
+    else:
+        ref2 = RefRegressor(32, hidden_dim=hidden, weight_init=True)
+    ref2.eval()
+    report = {"loaded": [], "skipped": []}
+    sd2 = {k: v.detach().numpy() for k, v in ref2.state_dict().items()}
+    imported = import_head(sd2, params, report)
+    assert not report["skipped"]
+    with torch.no_grad():
+        theirs2 = ref2(torch.from_numpy(x)).numpy()
+    ours2 = np.asarray(head.apply({"params": imported}, x,
+                                  deterministic=True))
+    np.testing.assert_allclose(ours2, theirs2, rtol=1e-5, atol=1e-6)
