@@ -139,3 +139,74 @@ def test_heads_roundtrip_against_reference(ref_models, rng, kind):
     ours2 = np.asarray(head.apply({"params": imported}, x,
                                   deterministic=True))
     np.testing.assert_allclose(ours2, theirs2, rtol=1e-5, atol=1e-6)
+
+
+def test_losses_match_reference_train_scripts(rng):
+    """Our jitted objectives vs the GENUINE loss functions defined in the
+    reference train scripts (imported read-only) on identical tensors —
+    including the flat-slice sparsity quirks reproduced on purpose."""
+    import argparse
+
+    sys.path.insert(0, REF)
+    try:
+        from Train.spatio_transformer_MIL_CE import (
+            get_BCE_loss as ref_bce, get_MIL_loss as ref_mil_ce)
+        from Train.spatio_transformer_shanghaitech import (
+            get_MIL_loss as ref_stn_mil)
+        from Train.temporal_transformer_shanghaitech import (
+            get_CE_loss as ref_ce, get_MIL_loss as ref_ltn_mil)
+    finally:
+        sys.path.remove(REF)
+
+    from lstc_vad_tpu.objectives.losses import (coteach_stn_mil_loss,
+                                                ltn_mil_loss,
+                                                soft_cross_entropy_on_probs,
+                                                stn_mil_loss, weighted_bce)
+
+    bs, pn, pl = 3, 4, 2
+    args = argparse.Namespace(batch_size=bs, part_num=pn, part_len=pl,
+                              lambda_1=0.07, lambda_normal=0.2,
+                              lambda_abnormal=2.0)
+
+    # STN MIL — call-site shape [2B, pn*pl, 1]
+    # (spatio_transformer_shanghaitech.py:99-100): abn_pred slices ROWS
+    y = rng.random((2 * bs, pn * pl)).astype(np.float32)
+    want = [float(v)
+            for v in ref_stn_mil(args, torch.from_numpy(y[..., None]))]
+    got = [float(v) for v in stn_mil_loss(y, pn, pl, args.lambda_1)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # LTN MIL incl. flat-slice sparsity quirk
+    # (temporal_transformer_shanghaitech.py:25-36)
+    yp = rng.random(2 * bs * pn).astype(np.float32)
+    want = [float(v) for v in ref_ltn_mil(args, torch.from_numpy(yp))]
+    got = [float(v) for v in ltn_mil_loss(yp, pn, args.lambda_1)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # co-teaching MIL: its call site passes the regressor's FLAT
+    # [2B*pn*pl, 1] output (spatio_transformer_MIL_CE.py:175-179), so
+    # abn_pred = y_pred[batch_size:] is the flat-slice sparsity quirk
+    flat_col = torch.from_numpy(y.reshape(-1, 1))
+    want = [float(v) for v in ref_mil_ce(args, flat_col, pl)]
+    got = [float(v) for v in coteach_stn_mil_loss(y, pn, pl, args.lambda_1)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # soft CE on already-softmaxed probs
+    # (temporal_transformer_shanghaitech.py:21-23)
+    logits = rng.standard_normal((2 * bs * pn, 2)).astype(np.float32)
+    probs = torch.softmax(torch.from_numpy(logits), dim=-1)
+    p = rng.random((2 * bs * pn, 1)).astype(np.float32)
+    labs = np.concatenate([1 - p, p], axis=-1)
+    want = float(ref_ce(args, probs, torch.from_numpy(labs)))
+    got = float(soft_cross_entropy_on_probs(probs.numpy(), labs))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
+    # class-weighted BCE (spatio_transformer_MIL_CE.py:23-26)
+    out = rng.random((bs, pn)).astype(np.float32)
+    p = rng.random((bs, pn, 1)).astype(np.float32)
+    soft = np.concatenate([1 - p, p], axis=-1)
+    want = float(ref_bce(args, torch.from_numpy(out),
+                         torch.from_numpy(soft)))
+    got = float(weighted_bce(out, soft, args.lambda_normal,
+                             args.lambda_abnormal))
+    np.testing.assert_allclose(got, want, rtol=1e-6)
