@@ -210,3 +210,48 @@ def test_losses_match_reference_train_scripts(rng):
     got = float(weighted_bce(out, soft, args.lambda_normal,
                              args.lambda_abnormal))
     np.testing.assert_allclose(got, want, rtol=1e-6)
+
+
+def test_metric_zoo_matches_reference_eval_utils(rng):
+    """Our numpy metric zoo vs the GENUINE utils/eval_utils.py functions
+    (sklearn-backed) on identical arrays — including the reference's
+    off-formula MCC, reproduced on purpose."""
+    pytest.importorskip("sklearn")
+    pytest.importorskip("matplotlib")
+    sys.path.insert(0, REF)
+    try:
+        import utils.eval_utils as ref
+    finally:
+        sys.path.remove(REF)
+
+    from lstc_vad_tpu.evaluation import metrics as ours
+
+    scores = rng.random(400)
+    labels = (rng.random(400) < 0.35).astype(np.float64)
+
+    # cal_f1 expects pre-binarized scores (reference convention)
+    binary = (scores > 0.5).astype(np.float64)
+    np.testing.assert_allclose(float(ours.f1(binary, labels)),
+                               float(ref.cal_f1(binary, labels)),
+                               rtol=1e-9)
+    pairs = [
+        (ours.roc_auc, ref.cal_auc),
+        (ours.rmse, ref.cal_rmse), (ours.pr_auc, ref.cal_pr_auc),
+        (ours.false_alarm, ref.cal_false_alarm),
+        (ours.false_neg, ref.cal_false_neg),
+        (ours.precision, ref.cal_precision),
+        (ours.accuracy, ref.cal_accuracy), (ours.recall, ref.cal_recall),
+        (ours.specificity, ref.cal_specific),
+        (ours.sensitivity, ref.cal_sensitivity),
+        (ours.score_gap, ref.cal_score_gap),
+        (ours.geometric_mean, ref.cal_geometric_mean),
+        (ours.f_measure, ref.cal_f_measure), (ours.mcc, ref.cal_MCC),
+        (ours.p_auc, ref.cal_pAUC),
+        (ours.average_precision, ref.cal_AP),
+    ]
+    for mine, theirs in pairs:
+        got = float(mine(scores, labels))
+        want = float(theirs(scores, labels))
+        np.testing.assert_allclose(
+            got, want, rtol=1e-9, atol=1e-12,
+            err_msg=f"{mine.__name__} vs {theirs.__name__}")
