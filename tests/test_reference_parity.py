@@ -255,3 +255,82 @@ def test_metric_zoo_matches_reference_eval_utils(rng):
         np.testing.assert_allclose(
             got, want, rtol=1e-9, atol=1e-12,
             err_msg=f"{mine.__name__} vs {theirs.__name__}")
+
+
+def test_genuine_reference_eval_script_matches_our_evaluate(
+        ref_models, rng, tmp_path, monkeypatch, capsys):
+    """THE end-to-end proof: the reference's OWN Test/
+    evaluation_shanghaitech_ubnormal.py::evaluation() — its loader, its
+    Encoder/Classifier, its part chunking and frame expansion — scores our
+    exported checkpoint on a synthetic SHT fixture, and the AUC matches our
+    `evaluate` CLI on the same data and weights.  (.cuda() is monkeypatched
+    to a no-op: this box has no GPU; math is unchanged.)"""
+    del ref_models  # ensures /root/reference modules import cleanly first
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.ckpt.torch_export import save_torch_checkpoint
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.cli.main import main
+
+    h5, train_txt, test_txt, mask_dir = make_sht_like(
+        str(tmp_path), n_patch=4, d_model=16, n_clips=(14, 30), seed=5)
+
+    small = ["--set", "encoder.d_model=16", "--set", "encoder.d_inner=32",
+             "--set", "encoder.n_head=2", "--set", "encoder.d_k=8",
+             "--set", "encoder.d_v=8", "--set", "encoder.n_layers=1",
+             "--set", "encoder.attn_impl=xla", "--set", "head.d_model=16",
+             "--set", "data.n_patch=4", "--set", "data.d_model=16",
+             "--set", "data.part_len=3", "--set", "encoder.window_depth=3"]
+    # the genuine Classifier hardcodes its 512 hidden dim
+    cfg = preset("sht_ltn")
+    from lstc_vad_tpu.cli.main import _apply_common
+    import argparse as _ap
+
+    ns = _ap.Namespace(h5=None, train_txt=None, test_txt=None, mask_dir=None,
+                       mask_h5=None, pseudo_labels=None, batch_size=None,
+                       seed=None, epochs=None, save_dir=None,
+                       metrics_jsonl=None, set=[s for i, s in
+                                               enumerate(small) if i % 2])
+    cfg = _apply_common(cfg, ns)
+
+    from lstc_vad_tpu.train.state import create_train_state
+
+    state, _, _, _ = create_train_state(cfg)
+    enc_ckpt = str(tmp_path / "enc.ckpt")
+    head_ckpt = str(tmp_path / "cls.ckpt")
+    save_torch_checkpoint(state.params, enc_ckpt, head_ckpt, "classifier",
+                          cfg.encoder)
+
+    # ---- our side: CLI evaluate with the exported torch ckpts
+    rc = main(["evaluate", "--preset", "sht_ltn", "--torch-ckpt",
+               "--encoder-ckpt", enc_ckpt, "--head-ckpt", head_ckpt,
+               "--h5", h5, "--test-txt", test_txt,
+               "--mask-dir", mask_dir + "/"] + small)
+    assert rc == 0
+    ours = float([ln for ln in capsys.readouterr().out.splitlines()
+                  if "auc = " in ln][-1].split("=")[-1])
+
+    # ---- genuine reference script on the same data + ckpts
+    import torch as _t
+    from torch import nn as _nn
+
+    monkeypatch.setattr(_t.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(_nn.Module, "cuda", lambda self, *a, **k: self)
+    sys.path.insert(0, REF)
+    try:
+        from Test.evaluation_shanghaitech_ubnormal import evaluation
+        args = _ap.Namespace(
+            dataset="SHT", testing_txt=test_txt, test_mask_dir=mask_dir,
+            dataset_path=h5, temporal_model_path=enc_ckpt,
+            classifier_model_path=head_ckpt, temporal_data_parallel=False,
+            temporal_n_layers=1, temporal_n_head=2, temporal_d_k=8,
+            temporal_d_v=8, d_model=16, temporal_n_hidden=32,
+            temporal_MHA_layerNorm=True, temporal_FFN_layerNorm=True,
+            temporal_relative_position_encoding=True, window_size=4,
+            part_len=3, n_patch=4, segment_len=16)
+        evaluation(args)
+    finally:
+        sys.path.remove(REF)
+    out = capsys.readouterr().out
+    theirs = float([ln for ln in out.splitlines()
+                    if "auc = " in ln][-1].split("=")[-1])
+    assert ours == pytest.approx(theirs, abs=1e-3), (ours, theirs)
