@@ -334,3 +334,74 @@ def test_genuine_reference_eval_script_matches_our_evaluate(
     theirs = float([ln for ln in out.splitlines()
                     if "auc = " in ln][-1].split("=")[-1])
     assert ours == pytest.approx(theirs, abs=1e-3), (ours, theirs)
+
+
+def test_genuine_ucf_eval_script_matches_our_evaluate(
+        ref_models, rng, tmp_path, monkeypatch, capsys):
+    """Same end-to-end proof for UCF: the reference's OWN
+    Test/evaluation_UCF.py (32-bin linspace pooling, L2 normalize, part_len
+    hardcoded to 2, tail overlap) scores our exported checkpoint and matches
+    our `evaluate --preset ucf_ltn`."""
+    del ref_models
+    import argparse as _ap
+
+    from fixtures import make_ucf_like
+    from lstc_vad_tpu.ckpt.torch_export import save_torch_checkpoint
+    from lstc_vad_tpu.cli.main import main, _apply_common
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.train.state import create_train_state
+
+    h5, train_txt, test_txt, gt_h5 = make_ucf_like(
+        str(tmp_path), n_patch=3, d_model=16, n_clips=(8, 40), seed=4)
+    small = ["--set", "encoder.d_model=16", "--set", "encoder.d_inner=32",
+             "--set", "encoder.n_head=2", "--set", "encoder.d_k=8",
+             "--set", "encoder.d_v=8", "--set", "encoder.n_layers=1",
+             "--set", "encoder.attn_impl=xla", "--set", "head.d_model=16",
+             "--set", "data.n_patch=3", "--set", "data.d_model=16"]
+    ns = _ap.Namespace(h5=None, train_txt=None, test_txt=None, mask_dir=None,
+                       mask_h5=None, pseudo_labels=None, batch_size=None,
+                       seed=None, epochs=None, save_dir=None,
+                       metrics_jsonl=None,
+                       set=[s for i, s in enumerate(small) if i % 2])
+    # final-eval shapes: part_len=2 / window_depth=2 (cmd_evaluate override)
+    from lstc_vad_tpu.config import replace as _replace
+
+    cfg = _replace(_apply_common(preset("ucf_ltn"), ns),
+                   **{"encoder.window_depth": 2, "data.part_len": 2})
+    state, _, _, _ = create_train_state(cfg)
+    enc_ckpt = str(tmp_path / "enc.ckpt")
+    head_ckpt = str(tmp_path / "cls.ckpt")
+    save_torch_checkpoint(state.params, enc_ckpt, head_ckpt, "classifier",
+                          cfg.encoder)
+
+    rc = main(["evaluate", "--preset", "ucf_ltn", "--torch-ckpt",
+               "--encoder-ckpt", enc_ckpt, "--head-ckpt", head_ckpt,
+               "--h5", h5, "--test-txt", test_txt, "--mask-h5", gt_h5]
+              + small)
+    assert rc == 0
+    ours = float([ln for ln in capsys.readouterr().out.splitlines()
+                  if "auc = " in ln][-1].split("=")[-1])
+
+    import torch as _t
+    from torch import nn as _nn
+
+    monkeypatch.setattr(_t.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(_nn.Module, "cuda", lambda self, *a, **k: self)
+    sys.path.insert(0, REF)
+    try:
+        from Test.evaluation_UCF import evaluation
+        args = _ap.Namespace(
+            testing_txt=test_txt, dataset_path=h5, test_mask_path=gt_h5,
+            temporal_model_path=enc_ckpt, classifier_model_path=head_ckpt,
+            temporal_n_layers=1, temporal_n_head=2, temporal_d_k=8,
+            temporal_d_v=8, d_model=16, temporal_n_hidden=32,
+            temporal_MHA_layerNorm=True, temporal_FFN_layerNorm=True,
+            relative_position_encoding=True, window_size=4, part_len=2,
+            n_patch=3, segment_len=16)
+        evaluation(args)
+    finally:
+        sys.path.remove(REF)
+    out = capsys.readouterr().out
+    theirs = float([ln for ln in out.splitlines()
+                    if ln.startswith("auc=")][-1].split("=")[-1])
+    assert ours == pytest.approx(theirs, abs=1e-3), (ours, theirs)
