@@ -477,3 +477,77 @@ def test_genuine_pseudo_generator_matches_our_gen_pseudo(
         np.testing.assert_allclose(
             np.ravel(ours[key]), np.ravel(theirs[key]), rtol=2e-4,
             atol=1e-5, err_msg=key)
+
+
+def test_genuine_temporal_pseudo_generator_matches(
+        ref_models, rng, tmp_path, monkeypatch, capsys):
+    """The reference's OWN Train/pseudo_labels_generator_temporal.py (SHT
+    part path: chunking WITHOUT tail re-window, per-part threshold, per-clip
+    expansion) over our exported LTN checkpoint matches `gen-pseudo --kind
+    ltn` clip for clip."""
+    del ref_models
+    import argparse as _ap
+
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.ckpt.torch_export import save_torch_checkpoint
+    from lstc_vad_tpu.cli.main import main, _apply_common
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.train.state import create_train_state
+
+    h5, train_txt, test_txt, mask_dir = make_sht_like(
+        str(tmp_path), n_patch=4, d_model=16, n_clips=(14, 30), seed=8)
+    small = ["--set", "encoder.d_model=16", "--set", "encoder.d_inner=32",
+             "--set", "encoder.n_head=2", "--set", "encoder.d_k=8",
+             "--set", "encoder.d_v=8", "--set", "encoder.n_layers=2",
+             "--set", "encoder.attn_impl=xla", "--set", "head.d_model=16",
+             "--set", "data.n_patch=4", "--set", "data.d_model=16",
+             "--set", "data.part_len=3", "--set", "encoder.window_depth=3"]
+    ns = _ap.Namespace(h5=None, train_txt=None, test_txt=None, mask_dir=None,
+                       mask_h5=None, pseudo_labels=None, batch_size=None,
+                       seed=None, epochs=None, save_dir=None,
+                       metrics_jsonl=None,
+                       set=[s for i, s in enumerate(small) if i % 2])
+    cfg = _apply_common(preset("sht_ltn"), ns)  # classifier hidden 512
+    state, _, _, _ = create_train_state(cfg)
+    enc_ckpt = str(tmp_path / "enc.ckpt")
+    head_ckpt = str(tmp_path / "cls.ckpt")
+    save_torch_checkpoint(state.params, enc_ckpt, head_ckpt, "classifier",
+                          cfg.encoder)
+
+    ours_path = str(tmp_path / "ours.npy")
+    rc = main(["gen-pseudo", "--preset", "sht_ltn", "--kind", "ltn",
+               "--threshold", "0.45", "--out", ours_path, "--torch-ckpt",
+               "--encoder-ckpt", enc_ckpt, "--head-ckpt", head_ckpt,
+               "--h5", h5, "--train-txt", train_txt] + small)
+    assert rc == 0
+    ours = np.load(ours_path, allow_pickle=True).tolist()
+
+    import torch as _t
+    from torch import nn as _nn
+
+    monkeypatch.setattr(_t.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(_nn.Module, "cuda", lambda self, *a, **k: self)
+    ref_path = str(tmp_path / "ref.npy")
+    sys.path.insert(0, REF)
+    try:
+        from Train.pseudo_labels_generator_temporal import generator
+        args = _ap.Namespace(
+            dataset="SHT", dataset_path=h5, training_txt=train_txt,
+            temporal_model_path=enc_ckpt, classifier_model_path=head_ckpt,
+            data_parallel=False, n_layers=2, n_head=2, d_k=8, d_v=8,
+            d_model=16, n_hidden=32, MHA_layerNorm=True, FFN_layerNorm=True,
+            position_dropout=0.1, encoder_weight_init=False,
+            position_encoding=False, CLS_learned=False,
+            max_position_tokens=17, relative_position_encoding=True,
+            window_size=4, conv_patch=False, part_len=3, threshold=0.45,
+            pseudo_labels_path=ref_path, segment_len=16)
+        generator(args)
+    finally:
+        sys.path.remove(REF)
+    theirs = np.load(ref_path, allow_pickle=True).tolist()
+
+    assert set(ours) == set(theirs)
+    for key in theirs:
+        np.testing.assert_allclose(
+            np.ravel(ours[key]), np.ravel(theirs[key]), rtol=2e-4,
+            atol=1e-5, err_msg=key)
