@@ -384,6 +384,17 @@ def cmd_evaluate(args):
         raise SystemExit("--dump-scores exports the standard per-video eval "
                          "scores; it cannot be combined with --per-class or "
                          "--eval-crop mean")
+    if args.bootstrap is not None:
+        if args.bootstrap < 1:
+            raise SystemExit(f"--bootstrap needs N >= 1, got {args.bootstrap}")
+        if args.per_class or args.eval_crop == "mean":
+            raise SystemExit("--bootstrap applies to the standard per-video "
+                             "eval; it cannot be combined with --per-class "
+                             "or --eval-crop mean")
+        if cfg.data.dataset == "UCF" and cfg.model.startswith("stn"):
+            raise SystemExit("--bootstrap is unavailable for the UCF STN "
+                             "eval (its scores assemble per bin, not per "
+                             "video)")
     mesh = _mesh_from_args(args, cfg.encoder.n_head)
     if mesh is not None and args.artifact:
         raise SystemExit("--mesh shards the live flax scorer; AOT artifacts "
@@ -492,9 +503,6 @@ def cmd_evaluate(args):
                                "eval_crop": "mean"})
         return 0
     rl = bool(args.bootstrap)
-    if rl and d.dataset == "UCF" and cfg.model.startswith("stn"):
-        raise SystemExit("--bootstrap is unavailable for the UCF STN eval "
-                         "(its scores assemble per bin, not per video)")
     want = dict(return_scores=bool(args.dump_scores), return_labels=rl)
     if d.dataset == "UCF":
         items = [(trainer._lazy_feat(v), v.anno,
@@ -684,6 +692,9 @@ def cmd_sweep(args):
         values = [v for v in raw.split(",") if v]
         if not values:
             raise SystemExit(f"--grid {path}: needs at least one value")
+        if any(path == seen for seen, _ in axes):
+            raise SystemExit(f"--grid {path}: duplicate axis (the later one "
+                             "would silently shadow the earlier)")
         axes.append((path, [_coerce(base, path, v) for v in values]))
     if not axes:
         raise SystemExit("sweep needs at least one --grid PATH=v1,v2,...")

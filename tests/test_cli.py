@@ -540,3 +540,21 @@ def test_cli_evaluate_bootstrap_ci(tmp_path, capsys):
     rec = json.loads(open(mpath).read().splitlines()[-1])
     assert rec["auc_ci_lo"] <= rec["auc"] <= rec["auc_ci_hi"]
     assert rec["n_bootstrap"] == 50
+
+
+def test_cli_bootstrap_and_grid_validation(tmp_path):
+    import pytest
+
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    with pytest.raises(SystemExit, match="N >= 1"):
+        main(["evaluate", "--preset", "sht_ltn", "--bootstrap", "-5"]
+             + common)
+    with pytest.raises(SystemExit, match="cannot be combined"):
+        main(["evaluate", "--preset", "sht_ltn", "--bootstrap", "10",
+              "--eval-crop", "mean", "--set", "data.ten_crop=true"] + common)
+    with pytest.raises(SystemExit, match="duplicate axis"):
+        main(["sweep", "--preset", "sht_stn", "--epochs", "1",
+              "--grid", "optim.lr_head=1e-2,3e-2",
+              "--grid", "optim.lr_head=1e-3"] + common)

@@ -123,4 +123,5 @@ def test_bootstrap_auc_ci_degenerate():
     labels = [np.zeros(50) for _ in range(3)]
     lo, hi = bootstrap_auc_ci(scores, labels, n_boot=20)
     assert np.isnan(lo) and np.isnan(hi)
-    assert bootstrap_auc_ci([], [], n_boot=5) == (lo, hi) or True
+    lo2, hi2 = bootstrap_auc_ci([], [], n_boot=5)
+    assert np.isnan(lo2) and np.isnan(hi2)
