@@ -551,3 +551,72 @@ def test_genuine_temporal_pseudo_generator_matches(
         np.testing.assert_allclose(
             np.ravel(ours[key]), np.ravel(theirs[key]), rtol=2e-4,
             atol=1e-5, err_msg=key)
+
+
+def test_genuine_ubnormal_eval_script_matches(
+        ref_models, rng, tmp_path, monkeypatch, capsys):
+    """The reference eval script's UBnormal branch (UBnormal_test loader,
+    'abnormal' prefix classes) over our exported ckpt matches our
+    `evaluate --preset ubnormal_ltn` (d_model kept tiny via --set)."""
+    del ref_models
+    import argparse as _ap
+
+    from fixtures import make_ubnormal_like
+    from lstc_vad_tpu.ckpt.torch_export import save_torch_checkpoint
+    from lstc_vad_tpu.cli.main import main, _apply_common
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.train.state import create_train_state
+
+    h5, train_txt, test_txt, mask_dir = make_ubnormal_like(
+        str(tmp_path), n_patch=4, d_model=16)
+    small = ["--set", "encoder.d_model=16", "--set", "encoder.d_inner=32",
+             "--set", "encoder.n_head=2", "--set", "encoder.d_k=8",
+             "--set", "encoder.d_v=8", "--set", "encoder.n_layers=1",
+             "--set", "encoder.attn_impl=xla", "--set", "head.d_model=16",
+             "--set", "data.n_patch=4", "--set", "data.d_model=16",
+             "--set", "data.part_len=3", "--set", "encoder.window_depth=3"]
+    ns = _ap.Namespace(h5=None, train_txt=None, test_txt=None, mask_dir=None,
+                       mask_h5=None, pseudo_labels=None, batch_size=None,
+                       seed=None, epochs=None, save_dir=None,
+                       metrics_jsonl=None,
+                       set=[s for i, s in enumerate(small) if i % 2])
+    cfg = _apply_common(preset("ubnormal_ltn"), ns)
+    state, _, _, _ = create_train_state(cfg)
+    enc_ckpt = str(tmp_path / "enc.ckpt")
+    head_ckpt = str(tmp_path / "cls.ckpt")
+    save_torch_checkpoint(state.params, enc_ckpt, head_ckpt, "classifier",
+                          cfg.encoder)
+
+    rc = main(["evaluate", "--preset", "ubnormal_ltn", "--torch-ckpt",
+               "--encoder-ckpt", enc_ckpt, "--head-ckpt", head_ckpt,
+               "--h5", h5, "--test-txt", test_txt,
+               "--mask-dir", mask_dir + "/"] + small)
+    assert rc == 0
+    ours = float([ln for ln in capsys.readouterr().out.splitlines()
+                  if "auc = " in ln][-1].split("=")[-1])
+
+    import torch as _t
+    from torch import nn as _nn
+
+    monkeypatch.setattr(_t.Tensor, "cuda", lambda self, *a, **k: self)
+    monkeypatch.setattr(_nn.Module, "cuda", lambda self, *a, **k: self)
+    sys.path.insert(0, REF)
+    try:
+        from Test.evaluation_shanghaitech_ubnormal import evaluation
+        args = _ap.Namespace(
+            dataset="UBnormal", testing_txt=test_txt,
+            test_mask_dir=mask_dir, dataset_path=h5,
+            temporal_model_path=enc_ckpt, classifier_model_path=head_ckpt,
+            temporal_data_parallel=False, temporal_n_layers=1,
+            temporal_n_head=2, temporal_d_k=8, temporal_d_v=8, d_model=16,
+            temporal_n_hidden=32, temporal_MHA_layerNorm=True,
+            temporal_FFN_layerNorm=True,
+            temporal_relative_position_encoding=True, window_size=4,
+            part_len=3, n_patch=4, segment_len=16)
+        evaluation(args)
+    finally:
+        sys.path.remove(REF)
+    out = capsys.readouterr().out
+    theirs = float([ln for ln in out.splitlines()
+                    if "auc = " in ln][-1].split("=")[-1])
+    assert ours == pytest.approx(theirs, abs=1e-3), (ours, theirs)
