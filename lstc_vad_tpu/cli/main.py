@@ -256,6 +256,43 @@ def _eval_token_len(cfg) -> int:
             else cfg.data.part_len * cfg.data.n_patch)
 
 
+def _load_eval_artifact(path: str, cfg, need_len: int):
+    """Load an AOT scorer artifact and fail fast on head-kind / d_model /
+    token-length mismatches (a mid-run ValueError would waste the whole
+    data-loading/compile setup on remote-attached TPUs)."""
+    from ..export import load_scorer
+
+    loaded = load_scorer(path)
+    if loaded.meta["kind"] != cfg.head.kind:
+        raise SystemExit(
+            f"artifact head kind {loaded.meta['kind']!r} does "
+            f"not match the preset's {cfg.head.kind!r}")
+    if loaded.meta["d_model"] != cfg.encoder.d_model:
+        raise SystemExit(
+            f"artifact d_model {loaded.meta['d_model']} != "
+            f"preset encoder.d_model {cfg.encoder.d_model}")
+    if need_len not in loaded.token_lens:
+        raise SystemExit(
+            f"artifact has no program for {need_len}-token parts "
+            f"(token_lens={loaded.token_lens}); re-export with "
+            "the matching preset/--set shapes")
+    return loaded
+
+
+def _wrap_artifact(scorer, loaded, expect_l2: bool):
+    """Slot the artifact's serialized programs into a scorer's inner
+    VideoScorer (evaluation/scoring.py::ArtifactVideoScorer)."""
+    if loaded.meta.get("l2_normalize", False) != expect_l2:
+        raise SystemExit(
+            f"this path needs l2_normalize={expect_l2} baked into the "
+            "artifact (export-aot --l2 for the UCF final eval, without it "
+            "otherwise)")
+    from ..evaluation.scoring import ArtifactVideoScorer
+
+    scorer.scorer = ArtifactVideoScorer(loaded)
+    return scorer
+
+
 def _load_params(args, trainer):
     """Load checkpoints over the fresh params.
 
@@ -324,8 +361,21 @@ def cmd_gen_pseudo(args):
     if args.threshold is None:
         args.threshold = 0.9 if args.kind == "stn" else 0.65
     mesh = _mesh_from_args(args, cfg.encoder.n_head)
+    loaded_artifact = None
+    if getattr(args, "artifact", None):
+        if args.torch_ckpt or args.ckpt or args.encoder_ckpt \
+                or args.head_ckpt:
+            raise SystemExit("--artifact already contains the params — drop "
+                             "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
+        if mesh is not None:
+            raise SystemExit("--mesh shards the live flax scorer; AOT "
+                             "artifacts run their own serialized "
+                             "partitioning — drop one")
+        loaded_artifact = _load_eval_artifact(args.artifact, cfg,
+                                              _eval_token_len(cfg))
     trainer = Trainer(cfg, eval_only=True, mesh=mesh)
-    trainer = _load_params(args, trainer)
+    if loaded_artifact is None:
+        trainer = _load_params(args, trainer)
     d = cfg.data
     store = trainer.store
     if d.ten_crop:
@@ -339,6 +389,8 @@ def cmd_gen_pseudo(args):
     if args.kind == "stn":
         scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch,
                             kind=cfg.head.kind, sharding=trainer.sharding)
+        if loaded_artifact is not None:
+            scorer = _wrap_artifact(scorer, loaded_artifact, expect_l2=False)
         pseudo = generate_stn_pseudo_labels(trainer.state.params, scorer,
                                             store, records,
                                             args.threshold)
@@ -352,6 +404,10 @@ def cmd_gen_pseudo(args):
             scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
                                 d.n_patch, tail_rewindow=False,
                                 sharding=trainer.sharding)
+        if loaded_artifact is not None:
+            # no-rewindow paths score tails at their true length: use an
+            # artifact exported with --tails
+            scorer = _wrap_artifact(scorer, loaded_artifact, expect_l2=False)
         pseudo = generate_ltn_pseudo_labels(trainer.state.params, scorer,
                                             store, records,
                                             args.threshold,
@@ -406,40 +462,13 @@ def cmd_evaluate(args):
                 or args.head_ckpt:
             raise SystemExit("--artifact already contains the params — drop "
                              "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
-        from ..evaluation.scoring import ArtifactVideoScorer
-        from ..export import load_scorer
-
-        loaded_artifact = load_scorer(args.artifact)
-        if loaded_artifact.meta["kind"] != cfg.head.kind:
-            raise SystemExit(
-                f"artifact head kind {loaded_artifact.meta['kind']!r} does "
-                f"not match the preset's {cfg.head.kind!r}")
-        # fail fast on shape mismatches (a mid-eval ValueError would waste
-        # the whole data-loading/compile setup on remote-attached TPUs)
-        if loaded_artifact.meta["d_model"] != cfg.encoder.d_model:
-            raise SystemExit(
-                f"artifact d_model {loaded_artifact.meta['d_model']} != "
-                f"preset encoder.d_model {cfg.encoder.d_model}")
-        need_len = _eval_token_len(cfg)
-        if need_len not in loaded_artifact.token_lens:
-            raise SystemExit(
-                f"artifact has no program for {need_len}-token parts "
-                f"(token_lens={loaded_artifact.token_lens}); re-export with "
-                "the matching preset/--set shapes")
-
-        def _use_artifact(scorer, expect_l2: bool):
-            if loaded_artifact.meta.get("l2_normalize", False) != expect_l2:
-                raise SystemExit(
-                    f"this eval path needs l2_normalize={expect_l2} baked "
-                    "into the artifact (export-aot --l2 for the UCF final "
-                    "eval, without it otherwise)")
-            scorer.scorer = ArtifactVideoScorer(loaded_artifact)
-            return scorer
-
+        loaded_artifact = _load_eval_artifact(args.artifact, cfg,
+                                              _eval_token_len(cfg))
         # UCF LTN final eval ONLY uses ucf_final_scorer() (l2 baked in);
         # every other path scores through the Trainer's scorer (no l2)
         if cfg.data.dataset != "UCF" or cfg.model.startswith("stn"):
-            trainer.scorer = _use_artifact(trainer.scorer, expect_l2=False)
+            trainer.scorer = _wrap_artifact(trainer.scorer, loaded_artifact,
+                                            expect_l2=False)
     else:
         trainer = _load_params(args, trainer)
     params = trainer.state.params
@@ -454,7 +483,7 @@ def cmd_evaluate(args):
                                  l2_normalize=True, tail_rewindow=True,
                                  sharding=trainer.sharding)
         if loaded_artifact is not None:
-            scorer = _use_artifact(scorer, expect_l2=True)
+            scorer = _wrap_artifact(scorer, loaded_artifact, expect_l2=True)
         return scorer
 
     if args.per_class:
@@ -817,6 +846,9 @@ def main(argv=None):
     p.add_argument("--head-ckpt", dest="head_ckpt")
     p.add_argument("--torch-ckpt", dest="torch_ckpt", action="store_true",
                    help="checkpoints are torch state_dicts")
+    p.add_argument("--artifact",
+                   help="AOT artifact directory (export-aot; use --tails "
+                        "for LTN): generate through the serialized programs")
     p.set_defaults(fn=cmd_gen_pseudo)
 
     p = sub.add_parser("evaluate", help="frame-AUC evaluation")

@@ -558,3 +558,58 @@ def test_cli_bootstrap_and_grid_validation(tmp_path):
         main(["sweep", "--preset", "sht_stn", "--epochs", "1",
               "--grid", "optim.lr_head=1e-2,3e-2",
               "--grid", "optim.lr_head=1e-3"] + common)
+
+
+def test_cli_gen_pseudo_from_artifact(tmp_path):
+    """gen-pseudo --artifact produces the identical pseudo-label dict as the
+    ckpt path, for both the STN clip path and the LTN tail path (--tails
+    artifact)."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    state_dir = str(tmp_path / "state")
+    rc = main(["train", "--preset", "sht_stn", "--epochs", "1",
+               "--save-state", state_dir] + common)
+    assert rc == 0
+
+    art = str(tmp_path / "stn_artifact")
+    rc = main(["export-aot", "--preset", "sht_stn", "--ckpt", state_dir,
+               "--out", art, "--platforms", "cpu"] + common)
+    assert rc == 0
+    a, b = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+    rc = main(["gen-pseudo", "--preset", "sht_stn", "--kind", "stn",
+               "--threshold", "0.5", "--out", a, "--ckpt", state_dir]
+              + common)
+    assert rc == 0
+    rc = main(["gen-pseudo", "--preset", "sht_stn", "--kind", "stn",
+               "--threshold", "0.5", "--out", b, "--artifact", art] + common)
+    assert rc == 0
+    da = np.load(a, allow_pickle=True).tolist()
+    db = np.load(b, allow_pickle=True).tolist()
+    assert set(da) == set(db)
+    for k in da:
+        np.testing.assert_allclose(da[k], db[k], atol=1e-6, err_msg=k)
+
+    # LTN: tails required for the no-rewindow part path
+    state2 = str(tmp_path / "state_ltn")
+    rc = main(["train", "--preset", "sht_ltn", "--epochs", "1",
+               "--save-state", state2, "--set", "loss.temporal_only=true"]
+              + common)
+    assert rc == 0
+    art2 = str(tmp_path / "ltn_artifact")
+    rc = main(["export-aot", "--preset", "sht_ltn", "--ckpt", state2,
+               "--out", art2, "--tails", "--platforms", "cpu"] + common)
+    assert rc == 0
+    c, e = str(tmp_path / "c.npy"), str(tmp_path / "e.npy")
+    rc = main(["gen-pseudo", "--preset", "sht_ltn", "--kind", "ltn",
+               "--threshold", "0.4", "--out", c, "--ckpt", state2] + common)
+    assert rc == 0
+    rc = main(["gen-pseudo", "--preset", "sht_ltn", "--kind", "ltn",
+               "--threshold", "0.4", "--out", e, "--artifact", art2]
+              + common)
+    assert rc == 0
+    dc = np.load(c, allow_pickle=True).tolist()
+    de = np.load(e, allow_pickle=True).tolist()
+    assert set(dc) == set(de)
+    for k in dc:
+        np.testing.assert_allclose(dc[k], de[k], atol=1e-6, err_msg=k)
