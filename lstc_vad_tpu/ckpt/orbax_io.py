@@ -58,22 +58,33 @@ def _remove(path: str, multiproc: bool):
     multihost_utils.sync_global_devices(f"ckpt_rm_exit:{path}")
 
 
+def _replace_keeping_old(tmp: str, final: str):
+    """Swap ``tmp`` over ``final`` with one valid directory reachable at
+    every instant: the previous checkpoint is parked at ``<final>.old``
+    before the rename (a crash between steps leaves either ``final`` or
+    ``.old``/``.next`` restorable — load_checkpoint falls back to both)."""
+    old = final + ".old"
+    if os.path.exists(old):
+        shutil.rmtree(old)
+    if os.path.exists(final):
+        os.replace(final, old)
+    os.replace(tmp, final)
+    if os.path.exists(old):
+        shutil.rmtree(old)
+
+
 def _promote(tmp: str, final: str, multiproc: bool):
     """Atomically (process-0-only) replace ``final`` with the committed
     ``tmp`` checkpoint."""
     if not multiproc:
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        _replace_keeping_old(tmp, final)
         return
     import jax
     from jax.experimental import multihost_utils
 
     multihost_utils.sync_global_devices(f"ckpt_promote_enter:{final}")
     if jax.process_index() == 0:
-        if os.path.exists(final):
-            shutil.rmtree(final)
-        os.replace(tmp, final)
+        _replace_keeping_old(tmp, final)
     multihost_utils.sync_global_devices(f"ckpt_promote_exit:{final}")
 
 
@@ -122,7 +133,19 @@ def wait_for_saves():
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     """Restore a pytree; ``target`` provides structure/shape/dtype template
-    (global-array targets restore sharded)."""
+    (global-array targets restore sharded).
+
+    If ``path`` itself is absent (a crash landed between an async commit and
+    its promotion), the uncommitted ``<path>.next`` and the parked
+    ``<path>.old`` are tried in that order."""
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
-    return ckptr.restore(path, target)
+    candidates = [p for p in (path, path + ".next", path + ".old")
+                  if os.path.isdir(p)] or [path]
+    err = None
+    for p in candidates:
+        try:
+            return ckptr.restore(p, target)
+        except Exception as e:  # partial write: fall through to the next
+            err = err or e
+    raise err

@@ -396,8 +396,13 @@ def cmd_gen_pseudo(args):
                                             args.threshold)
     else:
         if d.dataset == "UCF":
+            # max_clips: the reference generator hardcodes 32 bins
+            # (Train/pseudo_labels_generator_temporal.py:70); cfg.max_clips
+            # defaults to that and a --set override stays consistent with
+            # the eval path's
             scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
                                      d.part_len, d.n_patch,
+                                     max_clips=cfg.max_clips,
                                      l2_normalize=False, tail_rewindow=False,
                                      sharding=trainer.sharding)
         else:
@@ -405,8 +410,25 @@ def cmd_gen_pseudo(args):
                                 d.n_patch, tail_rewindow=False,
                                 sharding=trainer.sharding)
         if loaded_artifact is not None:
-            # no-rewindow paths score tails at their true length: use an
-            # artifact exported with --tails
+            # no-rewindow paths score tails at their true length: the
+            # artifact needs a program per tail length (export-aot --tails),
+            # checked BEFORE the store walk starts — a missing tail would
+            # otherwise die mid-run after minutes of scoring
+            if d.dataset == "UCF":
+                # fixed max_clips bins: the one possible tail length is known
+                tails = {(cfg.max_clips % d.part_len) * d.n_patch} - {0}
+            else:
+                tails = set(range(d.n_patch, _eval_token_len(cfg), d.n_patch))
+            missing = sorted(tails - set(loaded_artifact.token_lens))
+            if missing:
+                msg = (f"artifact lacks programs for tail parts of "
+                       f"{missing} tokens; re-export with --tails")
+                if d.dataset == "UCF":
+                    # max_clips % part_len != 0: a tail part ALWAYS occurs
+                    raise SystemExit(msg)
+                print(f"[gen-pseudo] warning: {msg} — videos whose clip "
+                      "count is not a part_len multiple will fail",
+                      file=sys.stderr)
             scorer = _wrap_artifact(scorer, loaded_artifact, expect_l2=False)
         pseudo = generate_ltn_pseudo_labels(trainer.state.params, scorer,
                                             store, records,
@@ -447,10 +469,6 @@ def cmd_evaluate(args):
             raise SystemExit("--bootstrap applies to the standard per-video "
                              "eval; it cannot be combined with --per-class "
                              "or --eval-crop mean")
-        if cfg.data.dataset == "UCF" and cfg.model.startswith("stn"):
-            raise SystemExit("--bootstrap is unavailable for the UCF STN "
-                             "eval (its scores assemble per bin, not per "
-                             "video)")
     mesh = _mesh_from_args(args, cfg.encoder.n_head)
     if mesh is not None and args.artifact:
         raise SystemExit("--mesh shards the live flax scorer; AOT artifacts "
@@ -513,11 +531,12 @@ def cmd_evaluate(args):
         if d.dataset == "UCF":
             raise SystemExit("tenCrop test loaders exist for SHT/UBnormal "
                              "only (utils/load_dataset.py:338-362,731-755)")
-        # the crop loop reads each video 10x through the lazy handles;
-        # memoize so the whole 10-crop array is read once per video (the
-        # reference tenCrop loaders were eager anyway)
-        for v in trainer.test_videos:
-            v.cache = True
+        # crop-major iteration with per-crop lazy reads: each crop pass
+        # re-reads one video at a time through the lazy handles and the
+        # 4-D array is freed as soon as its crop slice is copied out — peak
+        # RSS stays near ONE video (x10 reads), instead of pinning every
+        # video's whole 10-crop array for the full eval (the reference
+        # tenCrop loaders were eager, utils/load_dataset.py:338-362)
 
         def items_for_crop(c):
             return [((lambda v=v, c=c: v.feat[:, c]), v.anno)
@@ -540,8 +559,7 @@ def cmd_evaluate(args):
         if cfg.model.startswith("stn"):
             # same scorer the Trainer built (UCFClipBinScorer)
             result = evaluate_ucf_stn(params, trainer.scorer, items,
-                                      d.segment_len,
-                                      return_scores=bool(args.dump_scores))
+                                      d.segment_len, **want)
         else:
             result = evaluate_ucf_ltn(params, ucf_final_scorer(), items,
                                       d.segment_len, **want)
@@ -750,13 +768,18 @@ def cmd_sweep(args):
         if args.out:
             with open(args.out, "a") as f:
                 f.write(json.dumps(rec) + "\n")
-    results.sort(key=lambda r: -r["best_test_auc"])
-    print("rank  test_auc  overrides")
+    # rank by the SAME criterion the preset's model-selection gate uses
+    # (train AUC for SHT presets, test AUC otherwise) unless told otherwise —
+    # a test-AUC ranking could disagree with which checkpoints actually save
+    rank_key = "gate_auc" if args.rank_by == "gate" else "best_test_auc"
+    results.sort(key=lambda r: -r[rank_key])
+    print(f"rank  {'gate_auc':>8}  test_auc  overrides")
     for rank, rec in enumerate(results, 1):
         overrides = {k: v for k, v in rec.items()
                      if k not in ("run", "best_test_auc", "best_test_epoch",
                                   "best_train_auc", "gate_auc")}
-        print(f"{rank:>4}  {rec['best_test_auc']:.4f}  {overrides}")
+        print(f"{rank:>4}  {rec['gate_auc']:8.4f}  "
+              f"{rec['best_test_auc']:.4f}  {overrides}")
     return 0
 
 
@@ -783,7 +806,9 @@ def cmd_export_aot(args):
     """Serialize the eval scorer (StableHLO program + params) into a
     self-contained deployment artifact — loading needs only jax + numpy,
     no model code/config/retrace (lstc_vad_tpu/export.py)."""
-    cfg = _ucf_final_eval_shapes(_apply_common(preset(args.preset), args))
+    cfg = _apply_common(preset(args.preset), args)
+    if not args.train_shapes:
+        cfg = _ucf_final_eval_shapes(cfg)
     from ..export import save_scorer_artifact
     from ..train.state import create_train_state
 
@@ -914,6 +939,11 @@ def main(argv=None):
                         "for a cartesian product")
     p.add_argument("--mesh", help="'auto' or 'DPxTP': shard every run")
     p.add_argument("--out", help="append one JSON line per run")
+    p.add_argument("--rank-by", dest="rank_by", choices=("gate", "test"),
+                   default="gate",
+                   help="ranking criterion: 'gate' = the preset's model-"
+                        "selection AUC (train split for SHT), 'test' = best "
+                        "test AUC")
     p.set_defaults(fn=cmd_sweep)
 
     p = sub.add_parser("validate-data",
@@ -936,6 +966,11 @@ def main(argv=None):
     p.add_argument("--tails", action="store_true",
                    help="LTN: also bake programs for tail parts of 1.."
                         "part_len-1 clips (the no-re-window eval semantics)")
+    p.add_argument("--train-shapes", dest="train_shapes", action="store_true",
+                   help="UCF LTN: export at the TRAINING part shapes "
+                        "(part_len from the preset) instead of the final-eval "
+                        "override (part_len=2, Test/evaluation_UCF.py:42) — "
+                        "required for gen-pseudo --artifact on UCF")
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering platforms")
     p.set_defaults(fn=cmd_export_aot)

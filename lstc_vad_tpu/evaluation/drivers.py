@@ -149,26 +149,26 @@ def evaluate_ucf_per_class(params, scorer: UCFBinnedScorer,
 
 def evaluate_ucf_stn(params, scorer: UCFClipBinScorer,
                      items: Iterable[Tuple[np.ndarray, np.ndarray, int]],
-                     segment_len: int = 16, return_scores: bool = False):
+                     segment_len: int = 16, return_scores: bool = False,
+                     return_labels: bool = False):
     """UCF STN eval: per-bin regressor scores expanded x bin width
-    (Train/spatio_transformer_UCF.py:120-137).  items: (feats, anno, n_clips)."""
+    (Train/spatio_transformer_UCF.py:120-137).  items: (feats, anno, n_clips).
+    Scores AND labels assemble per video (the reference loop is per-video),
+    so bootstrap CIs / score export work like every other eval path."""
     items = list(items)
     results = scorer.score_videos(params, [(f, n) for f, _, n in items])
-    all_scores, all_labels, per_video = [], [], []
+    all_scores, all_labels = [], []
     for (scores, bin_ids, r), (_, anno, _) in zip(results, items):
-        video_scores = []
+        video_scores, video_labels = [], []
         for score, i in zip(scores, bin_ids):
             width = int(r[i + 1] - r[i]) * segment_len
             lab = np.asarray(anno[r[i] * segment_len:r[i + 1] * segment_len],
                              dtype=np.float64)
             n = min(width, len(lab))
             video_scores.append(np.full(n, score))
-            all_labels.append(lab[:n])
-        video_scores = (np.concatenate(video_scores) if video_scores
-                        else np.empty(0))
-        per_video.append(video_scores)
-        all_scores.append(video_scores)
-    auc = _concat_auc(all_scores, all_labels)
-    if return_scores:
-        return auc, per_video
-    return auc
+            video_labels.append(lab[:n])
+        all_scores.append(np.concatenate(video_scores) if video_scores
+                          else np.empty(0))
+        all_labels.append(np.concatenate(video_labels) if video_labels
+                          else np.empty(0))
+    return _result(all_scores, all_labels, return_scores, return_labels)

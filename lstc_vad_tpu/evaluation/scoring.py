@@ -16,6 +16,7 @@ equivalent (models/MultiHeadAttention.py:108).
 
 from __future__ import annotations
 
+import collections
 import functools
 from typing import List, Optional, Tuple
 
@@ -27,7 +28,12 @@ from .frame_auc import part_slices, ucf_bin_edges, ucf_bin_pool, ucf_part_plan
 
 BUCKETS = (1, 2, 4, 8, 16, 32, 64, 128, 256, 512, 1024, 2048, 4096)
 
-_APPLY_CACHE: dict = {}
+# (encoder, head, kind, l2) -> jitted apply.  LRU-bounded: a `sweep` over
+# many encoder shapes would otherwise accumulate compiled programs for the
+# whole process lifetime (each live VideoScorer still holds its own fn via
+# cached_property, so eviction never invalidates an in-use scorer).
+_APPLY_CACHE_MAX = 16
+_APPLY_CACHE = collections.OrderedDict()
 
 
 def _resolve(feats):
@@ -87,6 +93,10 @@ class VideoScorer:
             fn = _APPLY_CACHE[key] = jax.jit(
                 functools.partial(_scorer_apply, self.encoder, self.head,
                                   self.kind, self.l2_normalize))
+            while len(_APPLY_CACHE) > _APPLY_CACHE_MAX:
+                _APPLY_CACHE.popitem(last=False)
+        else:
+            _APPLY_CACHE.move_to_end(key)
         return fn
 
     def score_tokens(self, params, tokens: np.ndarray) -> np.ndarray:

@@ -26,13 +26,15 @@ import numpy as np
 from jax.sharding import Mesh, NamedSharding, PartitionSpec as P
 
 
-def factor_devices(n: int, n_head: int = 8, max_model: int = 8) -> Tuple[int, int]:
+def factor_devices(n: int, n_head: int = 8, max_model: int = 4) -> Tuple[int, int]:
     """Split n devices into (data, model).  The model axis must divide the
     head count (attention heads shard evenly) and is the largest power of 2
-    <= max_model that still leaves data >= 2 whenever n >= 4: the batch is
-    the scalable axis (docs/ARCHITECTURE.md), and a mixed mesh exercises
-    both the dp gradient all-reduce and the tp activation collectives
-    (n=8 -> (2, 4), n=4 -> (2, 2))."""
+    <= max_model that still leaves data >= 2 whenever n >= 4; the REST goes
+    to data: the batch is the embarrassingly-parallel scalable axis of this
+    workload (docs/ARCHITECTURE.md 'Parallelism'), while tp profit saturates
+    once the d_model=2048/d_inner=4096 contractions stop amortizing the
+    per-layer activation collectives — so tp caps at 4 and dp absorbs
+    growth: 4 -> (2, 2), 8 -> (2, 4), 16 -> (4, 4), 32 -> (8, 4)."""
     model = 1
     m = 2
     while m <= max_model and n % m == 0 and n_head % m == 0:

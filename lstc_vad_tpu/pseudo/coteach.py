@@ -105,8 +105,12 @@ class CoTeachingDriver:
         d = trainer.cfg.data
         records = load_train_records(d.dataset, d.train_txt)
         if d.dataset == "UCF":
+            # max_clips from the round's config (reference generator
+            # hardcodes 32, Train/pseudo_labels_generator_temporal.py:70 —
+            # the config default; an override stays consistent with eval)
             scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
                                      d.part_len, d.n_patch,
+                                     max_clips=trainer.cfg.max_clips,
                                      l2_normalize=False, tail_rewindow=False,
                                      sharding=trainer.sharding)
         else:

@@ -263,9 +263,14 @@ class Trainer:
     def _emit_metrics(self, record: Dict):
         """Structured observability: one JSON line per record (the reference
         only has free-text log lines, utils/utils.py:72-96).  Off unless
-        cfg.metrics_jsonl is set."""
+        cfg.metrics_jsonl is set.  Under a multi-process global mesh every
+        process computes identical records over a shared filesystem (the same
+        setup the checkpoint path requires) — only process 0 writes, like
+        the process-0-only checkpoint/pseudo-label saves."""
         path = self.cfg.metrics_jsonl
         if not path:
+            return
+        if self.multiprocess and jax.process_index() != 0:
             return
         import json
         import time

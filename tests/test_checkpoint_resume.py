@@ -81,3 +81,46 @@ def test_async_autosave_restores_exactly(tmp_path):
     for a, b in zip(jax.tree.leaves(t1.state.params),
                     jax.tree.leaves(t3.state.params)):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
+
+
+def test_load_checkpoint_falls_back_to_next_and_old(tmp_path):
+    """A crash between an async commit and its promotion leaves the new
+    checkpoint at <path>.next (or the previous one parked at <path>.old);
+    load_checkpoint restores from either when the final path is absent."""
+    from lstc_vad_tpu.ckpt import load_checkpoint, save_checkpoint
+
+    tree = {"a": np.arange(6, dtype=np.float32),
+            "b": np.full((2, 3), 7.0, dtype=np.float32)}
+    target = {"a": np.zeros(6, np.float32), "b": np.zeros((2, 3), np.float32)}
+    p = str(tmp_path / "ck")
+
+    save_checkpoint(p + ".next", tree)  # crash before the promote rename
+    out = load_checkpoint(p, target)
+    np.testing.assert_array_equal(out["a"], tree["a"])
+
+    import os
+    os.replace(p + ".next", p + ".old")  # crash after parking the old one
+    out = load_checkpoint(p, target)
+    np.testing.assert_array_equal(out["b"], tree["b"])
+
+    save_checkpoint(p, {"a": tree["a"] + 1, "b": tree["b"]})
+    out = load_checkpoint(p, target)  # committed path wins over .old
+    np.testing.assert_array_equal(out["a"], tree["a"] + 1)
+
+
+def test_promote_keeps_one_valid_checkpoint(tmp_path):
+    """_replace_keeping_old: the previous checkpoint survives at .old during
+    the swap and the final path always ends up with the new one."""
+    import os
+
+    from lstc_vad_tpu.ckpt.orbax_io import _replace_keeping_old
+
+    final, tmp = str(tmp_path / "final"), str(tmp_path / "incoming")
+    os.makedirs(final)
+    open(final + "/marker_old", "w").close()
+    os.makedirs(tmp)
+    open(tmp + "/marker_new", "w").close()
+    _replace_keeping_old(tmp, final)
+    assert os.path.exists(final + "/marker_new")
+    assert not os.path.exists(final + ".old")  # cleaned after the swap
+    assert not os.path.exists(tmp)

@@ -518,7 +518,7 @@ def test_cli_sweep(tmp_path, capsys):
     assert len({(ln["optim.lr_head"], ln["loss.lambda_1"])
                 for ln in lines}) == 4
     text = capsys.readouterr().out
-    assert "rank  test_auc  overrides" in text
+    assert "rank  gate_auc  test_auc  overrides" in text
 
     import pytest
     with pytest.raises(SystemExit, match="at least one --grid"):
@@ -613,3 +613,149 @@ def test_cli_gen_pseudo_from_artifact(tmp_path):
     assert set(dc) == set(de)
     for k in dc:
         np.testing.assert_allclose(dc[k], de[k], atol=1e-6, err_msg=k)
+
+
+def _ucf_small(fixture):
+    h5, train_txt, test_txt, gt_h5 = fixture
+    return ["--set", "encoder.d_model=16", "--set", "encoder.d_inner=32",
+            "--set", "encoder.n_head=2", "--set", "encoder.d_k=8",
+            "--set", "encoder.d_v=8", "--set", "encoder.n_layers=1",
+            "--set", "encoder.attn_impl=xla", "--set", "head.d_model=16",
+            "--set", "head.hidden_dim=8", "--set", "data.n_patch=3",
+            "--set", "data.d_model=16", "--set", "data.part_num=4",
+            "--set", "max_clips=8", "--set", "save_threshold=2.0",
+            "--set", "eval_train_split=false",
+            "--h5", h5, "--train-txt", train_txt, "--test-txt", test_txt,
+            "--mask-h5", gt_h5, "--batch-size", "2"]
+
+
+def test_cli_ucf_stn_bootstrap_and_dump_scores(tmp_path, capsys):
+    """UCF STN eval assembles scores AND labels per video (the reference
+    loop is per-video, Train/spatio_transformer_UCF.py:120-137), so
+    --bootstrap and --dump-scores work like every other eval path."""
+    import json
+
+    from fixtures import make_ucf_like
+
+    fixture = make_ucf_like(str(tmp_path), n_patch=3, d_model=16,
+                            n_clips=(8, 40))
+    small = _ucf_small(fixture)
+    npz = str(tmp_path / "scores.npz")
+    mpath = str(tmp_path / "m.jsonl")
+    rc = main(["evaluate", "--preset", "ucf_stn", "--bootstrap", "30",
+               "--dump-scores", npz, "--metrics-jsonl", mpath] + small)
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "95% CI [" in out and "30 video-level bootstrap" in out
+    rec = json.loads(open(mpath).read().splitlines()[-1])
+    assert rec["auc_ci_lo"] <= rec["auc"] <= rec["auc_ci_hi"]
+    dumped = np.load(npz)
+    assert len(dumped.files) == 6  # one entry per test video
+
+
+def test_cli_gen_pseudo_honors_max_clips(tmp_path):
+    """cfg.max_clips reaches the LTN pseudo generator's binned scorer (the
+    reference hardcodes 32, Train/pseudo_labels_generator_temporal.py:70;
+    a --set override must change the artifact, matching the eval path)."""
+    from fixtures import make_ucf_like
+
+    fixture = make_ucf_like(str(tmp_path), n_patch=3, d_model=16,
+                            n_clips=(20, 40))
+    small = _ucf_small(fixture)  # max_clips=8 baseline
+    a, b = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+    rc = main(["gen-pseudo", "--preset", "ucf_ltn", "--kind", "ltn",
+               "--threshold", "0.0", "--out", a] + small)
+    assert rc == 0
+    rc = main(["gen-pseudo", "--preset", "ucf_ltn", "--kind", "ltn",
+               "--threshold", "0.0", "--out", b] + small
+              + ["--set", "max_clips=4"])
+    assert rc == 0
+    da = np.load(a, allow_pickle=True).tolist()
+    db = np.load(b, allow_pickle=True).tolist()
+    assert set(da) == set(db)
+    assert any(not np.array_equal(da[k], db[k]) for k in da), \
+        "max_clips override did not change the pseudo labels"
+
+
+def test_cli_gen_pseudo_ucf_artifact_train_shapes(tmp_path):
+    """UCF LTN pseudo generation through an AOT artifact needs the TRAINING
+    part shapes (part_len=3), not the final-eval override (part_len=2):
+    export-aot --train-shapes produces it, and the artifact path matches the
+    ckpt path dict-identically.  Mismatched artifacts die up front."""
+    import pytest
+
+    from fixtures import make_ucf_like
+
+    fixture = make_ucf_like(str(tmp_path), n_patch=3, d_model=16,
+                            n_clips=(8, 40))
+    small = _ucf_small(fixture) + ["--set", "loss.temporal_only=true"]
+    state_dir = str(tmp_path / "state")
+    rc = main(["train", "--preset", "ucf_ltn", "--epochs", "1",
+               "--save-state", state_dir] + small)
+    assert rc == 0
+
+    # final-eval-shaped artifact (part_len=2, from an eval-shaped ckpt like
+    # the released ones): rejected by gen-pseudo before any scoring
+    eval_shapes = ["--set", "data.part_len=2",
+                   "--set", "encoder.window_depth=2"]
+    state_eval = str(tmp_path / "state_eval")
+    rc = main(["train", "--preset", "ucf_ltn", "--epochs", "1",
+               "--save-state", state_eval] + small + eval_shapes)
+    assert rc == 0
+    art_eval = str(tmp_path / "art_eval")
+    rc = main(["export-aot", "--preset", "ucf_ltn", "--ckpt", state_eval,
+               "--out", art_eval, "--tails", "--platforms", "cpu"] + small)
+    assert rc == 0
+    with pytest.raises(SystemExit, match="no program for 9-token"):
+        main(["gen-pseudo", "--preset", "ucf_ltn", "--kind", "ltn",
+              "--threshold", "0.0", "--out", str(tmp_path / "x.npy"),
+              "--artifact", art_eval] + small)
+
+    # train-shaped but WITHOUT --tails: the 8-bin % 3-part tail (6 tokens)
+    # is guaranteed to occur -> up-front error, not a mid-run death
+    art_notails = str(tmp_path / "art_notails")
+    rc = main(["export-aot", "--preset", "ucf_ltn", "--ckpt", state_dir,
+               "--out", art_notails, "--train-shapes", "--platforms", "cpu"]
+              + small)
+    assert rc == 0
+    with pytest.raises(SystemExit, match="lacks programs for tail parts"):
+        main(["gen-pseudo", "--preset", "ucf_ltn", "--kind", "ltn",
+              "--threshold", "0.0", "--out", str(tmp_path / "y.npy"),
+              "--artifact", art_notails] + small)
+
+    # the producible artifact: --train-shapes --tails == the ckpt path
+    art = str(tmp_path / "art")
+    rc = main(["export-aot", "--preset", "ucf_ltn", "--ckpt", state_dir,
+               "--out", art, "--train-shapes", "--tails", "--platforms",
+               "cpu"] + small)
+    assert rc == 0
+    from lstc_vad_tpu.export import load_scorer
+    loaded = load_scorer(art)
+    assert loaded.meta["token_len"] == 9 and {3, 6} <= set(loaded.token_lens)
+
+    a, b = str(tmp_path / "a.npy"), str(tmp_path / "b.npy")
+    rc = main(["gen-pseudo", "--preset", "ucf_ltn", "--kind", "ltn",
+               "--threshold", "0.0", "--out", a, "--ckpt", state_dir]
+              + small)
+    assert rc == 0
+    rc = main(["gen-pseudo", "--preset", "ucf_ltn", "--kind", "ltn",
+               "--threshold", "0.0", "--out", b, "--artifact", art] + small)
+    assert rc == 0
+    da = np.load(a, allow_pickle=True).tolist()
+    db = np.load(b, allow_pickle=True).tolist()
+    assert set(da) == set(db)
+    for k in da:
+        np.testing.assert_allclose(da[k], db[k], atol=1e-6, err_msg=k)
+
+
+def test_cli_sweep_rank_by(tmp_path, capsys):
+    """--rank-by gate (default) orders by the preset's model-selection AUC;
+    --rank-by test restores the test-AUC ordering."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    rc = main(["sweep", "--preset", "sht_stn", "--epochs", "1",
+               "--grid", "optim.lr_head=1e-2,3e-2", "--rank-by", "test"]
+              + common)
+    assert rc == 0
+    assert "rank  gate_auc  test_auc  overrides" in capsys.readouterr().out

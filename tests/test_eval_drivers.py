@@ -122,3 +122,23 @@ def test_scorer_apply_cache_shared_across_instances(ltn_model):
     assert a._apply is b._apply  # same compiled program, no re-trace
     c = VideoScorer(enc, head, "classifier", l2_normalize=True)
     assert c._apply is not a._apply
+
+
+def test_apply_cache_is_bounded():
+    """The process-wide jitted-apply cache is a small LRU: a sweep over many
+    encoder shapes cannot accumulate compiled programs for the whole process
+    lifetime.  Eviction never invalidates a live scorer — each VideoScorer
+    pins its own fn via cached_property."""
+    from lstc_vad_tpu.evaluation import scoring
+
+    first = scoring.VideoScorer(
+        Encoder(EncoderConfig(**SMALL)), make_head("regressor", 16, 8),
+        "regressor")
+    pinned = first._apply  # enters the cache; instance keeps a strong ref
+    for i in range(scoring._APPLY_CACHE_MAX + 5):
+        cfg = EncoderConfig(**{**SMALL, "d_inner": 24 + 8 * i})
+        s = scoring.VideoScorer(Encoder(cfg), make_head("regressor", 16, 8),
+                                "regressor")
+        s._apply  # touch: distinct config -> distinct cache entry
+    assert len(scoring._APPLY_CACHE) <= scoring._APPLY_CACHE_MAX
+    assert first._apply is pinned  # evicted from the LRU, still usable

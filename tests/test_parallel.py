@@ -16,7 +16,10 @@ def test_factor_devices():
     # n >= 4 keeps both axes > 1: dp all-reduce AND tp collectives exercised
     assert factor_devices(4) == (2, 2)
     assert factor_devices(8) == (2, 4)
-    assert factor_devices(16) == (2, 8)
+    # tp caps at 4 (contraction profit saturates); dp absorbs growth
+    assert factor_devices(16) == (4, 4)
+    assert factor_devices(32) == (8, 4)
+    assert factor_devices(16, max_model=8) == (2, 8)
     assert factor_devices(6, n_head=8) == (3, 2)
     assert factor_devices(3) == (3, 1)
 
