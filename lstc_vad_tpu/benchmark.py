@@ -1,12 +1,14 @@
 """Benchmark (package home — run via `python bench.py`,
-`python -m lstc_vad_tpu benchmark`, or the installed console script): flagship (ShanghaiTech LTN) evaluation throughput on one chip.
+`python -m lstc_vad_tpu benchmark`, or the installed console script):
+single-chip throughput over the FULL preset matrix.
 
-Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"}.
+Prints ONE JSON line: {"metric", "value", "unit", "vs_baseline"} plus extra
+keys (the driver parses one line; the contract keys are unchanged).
 
-Metric: snippets (16-frame clips) scored per second through the full eval
-path — encoder (3 layers, d_model 2048, 8 heads, 3-D relative position bias
-over 49 tokens) + classifier — with all parts of all videos batched on
-device, as the evaluation drivers run it.
+Headline metric: snippets (16-frame clips) scored per second through the
+flagship ShanghaiTech LTN eval path — encoder (3 layers, d_model 2048,
+8 heads, 3-D relative position bias over 49 tokens) + classifier — with all
+parts of all videos batched on device, as the evaluation drivers run it.
 
 Baseline: the reference evaluates ONE part per device call in a Python loop
 with a `.cpu().numpy()` sync per part
@@ -16,25 +18,34 @@ quoted: the same weights are driven through a reference-style batch-1
 per-part loop (device round-trip per part, as the reference does) ON THE
 SAME CHIP, and vs_baseline = batched / reference_style.
 
-Both paths run on device-resident inputs; host<->device staging of the
-synthetic test set is outside the timed region (in deployment, input
-transfer overlaps compute via the prefetch pipeline).
-
 Caveat: both paths pay this environment's device-dispatch latency; the
 reference-style loop is hurt more by it (one round trip per part).  On
 locally-attached hardware the loop's absolute rate would be higher, but the
-architectural gap (per-part sync vs one fused sweep near MXU peak — measured
-~135 TFLOP/s, ~69% MFU on v5e) is what the ratio demonstrates.
+architectural gap (per-part sync vs one fused sweep near MXU peak) is what
+the ratio demonstrates.
 
-Extra keys in the same JSON line (driver parses ONE line; the contract keys
-metric/value/unit/vs_baseline are unchanged):
-- ``train_snippets_per_sec``: the full jitted LTN train step (fwd + bwd +
-  two-group Adagrad, donated state, device-resident preset-sized batch) —
+Extra keys (each measured where the corresponding reference script actually
+runs, not extrapolated from the flagship shape):
+- ``stn_eval_snippets_per_sec``: SHT STN eval — 17-token sequences (16
+  patches + CLS), regressor head (Train/spatio_transformer_shanghaitech.py:
+  133-137).  One clip = one snippet.
+- ``ucf_eval_snippets_per_sec``: the UCF LTN final-eval path END TO END —
+  host-side 32-bin linspace mean-pooling + device L2-normalize + encoder at
+  part_len=2 (Test/evaluation_UCF.py:52-77), through UCFBinnedScorer exactly
+  as `evaluate --preset ucf_ltn` drives it.  Snippets = raw input clips; the
+  rate includes the host pooling (the deliberate design: pool before
+  transfer to minimize H2D bytes — docs/ARCHITECTURE.md), so it reflects the
+  one-core host of this box as much as the chip.
+- ``ubnormal_eval_snippets_per_sec``: UBnormal LTN eval — d_model 1024,
+  part_len 5 (81-token parts), the README.md:55 shape.
+- ``train_snippets_per_sec``: the full jitted SHT LTN train step (fwd + bwd
+  + two-group Adagrad, donated state, device-resident preset-sized batch) —
   the device program of Train/temporal_transformer_shanghaitech.py:99-142.
-- ``eval_tflops`` / ``train_tflops``: FLOP-derived rates from the analytic
-  matmul count (backward ~= 2x forward); ``eval_mfu`` is vs the v5e nominal
-  bf16 peak of 197 TFLOP/s (approximate: the model runs f32-accumulate, and
-  tunnel timing has ~ms jitter).
+- ``eval_tflops`` / ``train_tflops`` / ``stn_eval_tflops`` /
+  ``ubnormal_eval_tflops``: FLOP-derived rates from the analytic matmul
+  count (backward ~= 2x forward); ``eval_mfu`` / ``train_mfu`` are vs the
+  v5e nominal bf16 peak of 197 TFLOP/s (approximate: the model runs
+  f32-accumulate, and tunnel timing has ~ms jitter).
 """
 
 import json
@@ -43,14 +54,15 @@ import time
 
 import numpy as np
 
+V5E_PEAK_TFLOPS = 197.0
 
-def flops_per_part(cfg) -> float:
-    """Analytic forward FLOPs for ONE part (L = part_len*n_patch + CLS
-    tokens) through the encoder + head: qkv/out projections, attention
-    score + weighted-sum matmuls, FFN, head MLP.  2 FLOPs per MAC;
+
+def flops_per_tokens(cfg, L: int) -> float:
+    """Analytic forward FLOPs for ONE L-token sequence (CLS included)
+    through the encoder + head: qkv/out projections, attention score +
+    weighted-sum matmuls, FFN, head MLP.  2 FLOPs per MAC;
     layernorm/softmax/bias terms are negligible and excluded."""
     e = cfg.encoder
-    L = cfg.data.part_len * cfg.data.n_patch + 1
     d, h, dk, dv, di = e.d_model, e.n_head, e.d_k, e.d_v, e.d_inner
     per_layer = (2 * L * d * h * (2 * dk + dv)   # q, k, v projections
                  + 2 * h * L * L * (dk + dv)     # scores + weighted sum
@@ -59,6 +71,12 @@ def flops_per_part(cfg) -> float:
     hid = cfg.head.hidden_dim
     head = 2 * (d * hid + hid * 32 + 32 * 2)
     return float(e.n_layers * per_layer + head)
+
+
+def flops_per_part(cfg) -> float:
+    """Forward FLOPs for one training-shaped part
+    (part_len*n_patch + CLS tokens)."""
+    return flops_per_tokens(cfg, cfg.data.part_len * cfg.data.n_patch + 1)
 
 
 def main(retry_wait_s: float = 300.0):
@@ -84,24 +102,21 @@ def main(retry_wait_s: float = 300.0):
         os.execv(sys.executable, [sys.executable] + sys.argv)
 
 
-def _run():
+def _build_apply(cfg):
+    """(params, jitted apply(params, x) -> [B] scores) for a preset config."""
     import jax
 
-    from lstc_vad_tpu.config import preset
     from lstc_vad_tpu.models import Encoder, make_head
 
-    cfg = preset("sht_ltn")
     encoder = Encoder(cfg.encoder)
     head = make_head(cfg.head.kind, cfg.head.d_model)
     d = cfg.encoder.d_model
-    part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
-    tokens_per_part = part_len * n_patch
-
-    rng = np.random.default_rng(0)
+    seq = (cfg.data.n_patch if cfg.model.startswith("stn")
+           else cfg.data.part_len * cfg.data.n_patch)
     params = {
         "encoder": encoder.init(
             jax.random.PRNGKey(0),
-            np.zeros((1, tokens_per_part, d), np.float32))["params"],
+            np.zeros((1, seq, d), np.float32))["params"],
         "head": head.init(jax.random.PRNGKey(1),
                           np.zeros((1, d), np.float32))["params"],
     }
@@ -110,59 +125,150 @@ def _run():
     def apply(params, x):
         h = encoder.apply({"params": params["encoder"]}, x,
                           deterministic=True)
-        return head.apply({"params": params["head"]}, h[:, 0, :],
-                          deterministic=True)[:, 1]
+        out = head.apply({"params": params["head"]}, h[:, 0, :],
+                         deterministic=True)
+        return out[:, 1] if cfg.head.kind == "classifier" else out[:, 0]
 
-    # synthetic SHT-scale test sweep: 64 videos x 192 clips = 64 parts each
-    n_videos, clips_per_video = 64, 192
-    parts_per_video = clips_per_video // part_len
-    batch = 1024  # parts per device call in the batched path
+    return encoder, head, params, apply
 
-    video_parts = [
-        jax.device_put(rng.standard_normal(
-            (parts_per_video, tokens_per_part, d)).astype(np.float32))
-        for _ in range(n_videos)]
-    all_parts = np.concatenate([np.asarray(v) for v in video_parts])
-    staged = [jax.device_put(all_parts[i:i + batch])
-              for i in range(0, len(all_parts), batch)]
-    total_snippets = n_videos * clips_per_video
 
-    # --- batched path (ours): large device batches, one drain per sweep ---
-    float(apply(params, staged[0]).sum())  # compile
-    for chunk in staged:                   # warm sweep
+def _sweep_rate(apply, params, staged, n_items: int, sweeps: int = 3):
+    """Items (leading-axis rows) per second over device-resident batches;
+    host fetch at the end of each timed region forces the tunnel drain."""
+    for chunk in staged:  # warm (compile already done by caller)
         out = apply(params, chunk)
     float(out.sum())
-    sweeps = 3
     t0 = time.perf_counter()
     for _ in range(sweeps):
         outs = [apply(params, chunk) for chunk in staged]
     float(outs[-1].sum())
-    batched_dt = (time.perf_counter() - t0) / sweeps
-    batched = total_snippets / batched_dt
+    dt = (time.perf_counter() - t0) / sweeps
+    return n_items / dt
 
-    # --- reference-style: batch-1 per part, host fetch per part ---
-    one = staged[0][:1]
-    np.asarray(apply(params, one))  # compile batch-1 program
+
+def _flagship_eval(rng):
+    """SHT LTN eval sweep + the reference-style batch-1 loop (vs_baseline).
+    Returns (snippets_per_sec, vs_baseline, tflops)."""
+    import jax
+
+    from lstc_vad_tpu.config import preset
+
+    cfg = preset("sht_ltn")
+    d = cfg.encoder.d_model
+    part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
+    tokens = part_len * n_patch
+    _, _, params, apply = _build_apply(cfg)
+
+    # synthetic SHT-scale test sweep: 64 videos x 192 clips = 64 parts each
+    n_videos, clips_per_video = 64, 192
+    parts_per_video = clips_per_video // part_len
+    batch = 1024  # measured optimum (512: -4%, 2048: -2%)
+    all_parts = rng.standard_normal(
+        (n_videos * parts_per_video, tokens, d)).astype(np.float32)
+    staged = [jax.device_put(all_parts[i:i + batch])
+              for i in range(0, len(all_parts), batch)]
+    total_snippets = n_videos * clips_per_video
+
+    float(apply(params, staged[0]).sum())  # compile
+    batched = _sweep_rate(apply, params, staged, total_snippets)
+
+    # reference-style: batch-1 per part, host fetch per part
+    np.asarray(apply(params, staged[0][:1]))  # compile batch-1 program
     n_ref_parts = 128
     t0 = time.perf_counter()
     for i in range(n_ref_parts):
-        score = np.asarray(apply(params, staged[0][i:i + 1]))
-    ref_dt = time.perf_counter() - t0
-    ref_rate = n_ref_parts * part_len / ref_dt
+        np.asarray(apply(params, staged[0][i:i + 1]))
+    ref_rate = n_ref_parts * part_len / (time.perf_counter() - t0)
 
-    # free the eval sweep's staged device buffers before the train phase:
-    # ~10 GB of parts would otherwise sit in HBM next to the backward's
-    # activation temps (~8 GB at bs=40 f32) and OOM the 15.75 GB chip
-    del video_parts, staged, all_parts, one, chunk, out, outs
+    tflops = (batched / part_len) * flops_per_part(cfg) / 1e12
+    return batched, batched / ref_rate, tflops
 
-    # --- train step: fwd + bwd + two-group Adagrad, donated state ---
+
+def _stn_eval(rng):
+    """SHT STN eval: 17-token clip sequences through the regressor
+    (Train/spatio_transformer_shanghaitech.py:133-137)."""
+    import jax
+
+    from lstc_vad_tpu.config import preset
+
+    cfg = preset("sht_stn")
+    d, n_patch = cfg.encoder.d_model, cfg.data.n_patch
+    n_clips, batch = 16384, 2048
+    clips = rng.standard_normal((n_clips, n_patch, d)).astype(np.float32)
+    _, _, params, apply = _build_apply(cfg)
+    staged = [jax.device_put(clips[i:i + batch])
+              for i in range(0, n_clips, batch)]
+    float(apply(params, staged[0]).sum())  # compile
+    rate = _sweep_rate(apply, params, staged, n_clips)
+    tflops = rate * flops_per_tokens(cfg, n_patch + 1) / 1e12
+    return rate, tflops
+
+
+def _ubnormal_eval(rng):
+    """UBnormal LTN eval: d_model 1024, part_len 5 -> 81-token parts
+    (README.md:55 shape; Train/temporal_transformer_UBnormal.py)."""
+    import jax
+
+    from lstc_vad_tpu.config import preset
+
+    cfg = preset("ubnormal_ltn")
+    d = cfg.encoder.d_model
+    part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
+    tokens = part_len * n_patch
+    n_parts, batch = 4096, 1024
+    parts = rng.standard_normal((n_parts, tokens, d)).astype(np.float32)
+    _, _, params, apply = _build_apply(cfg)
+    staged = [jax.device_put(parts[i:i + batch])
+              for i in range(0, n_parts, batch)]
+    float(apply(params, staged[0]).sum())  # compile
+    rate = _sweep_rate(apply, params, staged, n_parts) * part_len
+    tflops = (rate / part_len) * flops_per_tokens(cfg, tokens + 1) / 1e12
+    return rate, tflops
+
+
+def _ucf_eval(rng):
+    """UCF LTN final-eval path end to end through UCFBinnedScorer: host
+    32-bin linspace mean-pool + device L2-norm + encoder at part_len=2
+    (Test/evaluation_UCF.py:52-77).  Snippets = raw input clips."""
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.evaluation.scoring import UCFBinnedScorer
+
+    cfg = preset("ucf_ltn")
+    d, n_patch = cfg.encoder.d_model, cfg.data.n_patch
+    encoder, head, params, _ = _build_apply(cfg)
+    # final-eval flags: part_len=2, 32 bins, L2 (cli/main.py ucf_final_scorer)
+    scorer = UCFBinnedScorer(encoder, head, part_len=2, n_patch=n_patch,
+                             max_clips=cfg.max_clips, l2_normalize=True,
+                             tail_rewindow=True)
+    n_videos, clips_per_video = 32, 320
+    items = [(rng.standard_normal(
+        (clips_per_video, n_patch, d)).astype(np.float32), clips_per_video)
+        for _ in range(n_videos)]
+    scorer.score_videos(params, items)  # compile + warm (host pool + device)
+    sweeps = 2
+    t0 = time.perf_counter()
+    for _ in range(sweeps):
+        scorer.score_videos(params, items)
+    dt = (time.perf_counter() - t0) / sweeps
+    return n_videos * clips_per_video / dt
+
+
+def _train_step(rng):
+    """SHT LTN train step: fwd + bwd + two-group Adagrad, donated state
+    (the device program of Train/temporal_transformer_shanghaitech.py:99-142).
+    Returns (snippets_per_sec, tflops)."""
+    import jax
+
+    from lstc_vad_tpu.config import preset
     from lstc_vad_tpu.train.state import create_train_state
     from lstc_vad_tpu.train.steps import make_ltn_train_step
 
+    cfg = preset("sht_ltn")
+    d = cfg.encoder.d_model
+    part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
     state, t_encoder, t_head, tx = create_train_state(cfg)
     step_fn = make_ltn_train_step(t_encoder, t_head, cfg, tx)
-    b = cfg.data.batch_size
-    pn = cfg.data.part_num
+    b, pn = cfg.data.batch_size, cfg.data.part_num
     fshape = (b, pn * part_len, n_patch, d)
     norm = jax.device_put(rng.standard_normal(fshape).astype(np.float32))
     abnorm = jax.device_put(rng.standard_normal(fshape).astype(np.float32))
@@ -179,25 +285,43 @@ def _run():
         state, m = step_fn(state, norm, labs, abnorm, labs)
     float(m["loss"])  # host fetch forces the drain through the tunnel
     train_dt = (time.perf_counter() - t0) / n_steps
-    train_rate = 2 * b * pn * part_len / train_dt
+    rate = 2 * b * pn * part_len / train_dt
+    tflops = (rate / part_len) * 3 * flops_per_part(cfg) / 1e12
+    return rate, tflops
 
-    fpp = flops_per_part(cfg)
-    eval_tflops = (batched / part_len) * fpp / 1e12
-    train_tflops = (train_rate / part_len) * 3 * fpp / 1e12
 
-    print(f"batched: {batched:.0f} snippets/s ({batched_dt*1e3:.0f} ms for "
-          f"{total_snippets}) | reference-style loop: {ref_rate:.0f} "
-          f"snippets/s | train step: {train_rate:.0f} snippets/s "
-          f"({train_dt*1e3:.0f} ms/step)", file=sys.stderr)
+def _run():
+    rng = np.random.default_rng(0)
+
+    eval_rate, vs_ref, eval_tflops = _flagship_eval(rng)
+    stn_rate, stn_tflops = _stn_eval(rng)
+    ub_rate, ub_tflops = _ubnormal_eval(rng)
+    ucf_rate = _ucf_eval(rng)
+    # train phase last: each phase's staging is freed on helper return, so
+    # the backward's activation temps (~8 GB at bs=40 f32) never share HBM
+    # with an eval sweep's parts on the 15.75 GB chip
+    train_rate, train_tflops = _train_step(rng)
+
+    print(f"sht_ltn eval: {eval_rate:.0f} snippets/s ({eval_tflops:.1f} "
+          f"TFLOP/s) | stn: {stn_rate:.0f} ({stn_tflops:.1f}) | "
+          f"ubnormal: {ub_rate:.0f} ({ub_tflops:.1f}) | "
+          f"ucf end-to-end: {ucf_rate:.0f} | "
+          f"train: {train_rate:.0f} ({train_tflops:.1f})", file=sys.stderr)
     print(json.dumps({
         "metric": "sht_ltn_eval_snippets_per_sec",
-        "value": round(batched, 1),
+        "value": round(eval_rate, 1),
         "unit": "snippets/s",
-        "vs_baseline": round(batched / ref_rate, 2),
+        "vs_baseline": round(vs_ref, 2),
         "train_snippets_per_sec": round(train_rate, 1),
         "eval_tflops": round(eval_tflops, 1),
         "train_tflops": round(train_tflops, 1),
-        "eval_mfu": round(eval_tflops / 197.0, 3),
+        "eval_mfu": round(eval_tflops / V5E_PEAK_TFLOPS, 3),
+        "train_mfu": round(train_tflops / V5E_PEAK_TFLOPS, 3),
+        "stn_eval_snippets_per_sec": round(stn_rate, 1),
+        "stn_eval_tflops": round(stn_tflops, 1),
+        "ubnormal_eval_snippets_per_sec": round(ub_rate, 1),
+        "ubnormal_eval_tflops": round(ub_tflops, 1),
+        "ucf_eval_snippets_per_sec": round(ucf_rate, 1),
     }))
 
 
