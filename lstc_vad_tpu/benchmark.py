@@ -32,10 +32,11 @@ runs, not extrapolated from the flagship shape):
 - ``ucf_eval_snippets_per_sec``: the UCF LTN final-eval path END TO END —
   host-side 32-bin linspace mean-pooling + device L2-normalize + encoder at
   part_len=2 (Test/evaluation_UCF.py:52-77), through UCFBinnedScorer exactly
-  as `evaluate --preset ucf_ltn` drives it.  Snippets = raw input clips; the
-  rate includes the host pooling (the deliberate design: pool before
-  transfer to minimize H2D bytes — docs/ARCHITECTURE.md), so it reflects the
-  one-core host of this box as much as the chip.
+  as `evaluate --preset ucf_ltn` drives it.  Snippets = raw input clips.
+  Measured attribution on this box: ~14% host pooling (one core), the rest
+  H2D transfer + dispatch through the remote tunnel — which is why the
+  scorers pool before transfer and bucket-decompose batches to ship zero
+  padding rows (evaluation/scoring.py score_tokens).
 - ``ubnormal_eval_snippets_per_sec``: UBnormal LTN eval — d_model 1024,
   part_len 5 (81-token parts), the README.md:55 shape.
 - ``train_snippets_per_sec``: the full jitted SHT LTN train step (fwd + bwd

@@ -499,7 +499,8 @@ def cmd_evaluate(args):
         scorer = UCFBinnedScorer(trainer.encoder, trainer.head, part_len=2,
                                  n_patch=d.n_patch, max_clips=cfg.max_clips,
                                  l2_normalize=True, tail_rewindow=True,
-                                 sharding=trainer.sharding)
+                                 sharding=trainer.sharding,
+                                 transfer_dtype=d.transfer_dtype)
         if loaded_artifact is not None:
             scorer = _wrap_artifact(scorer, loaded_artifact, expect_l2=True)
         return scorer
@@ -529,8 +530,11 @@ def cmd_evaluate(args):
             raise SystemExit("--eval-crop mean needs a tenCrop store "
                              "(--set data.ten_crop=true)")
         if d.dataset == "UCF":
-            raise SystemExit("tenCrop test loaders exist for SHT/UBnormal "
-                             "only (utils/load_dataset.py:338-362,731-755)")
+            raise SystemExit(
+                "tenCrop eval semantics exist for SHT/UBnormal only "
+                "(utils/load_dataset.py:338-362,731-755; the reference's "
+                "UCF_test_tenCrop at :494-509 is an identical copy of "
+                "UCF_test with no crop axis)")
         # crop-major iteration with per-crop lazy reads: each crop pass
         # re-reads one video at a time through the lazy handles and the
         # 4-D array is freed as soon as its crop slice is copied out — peak

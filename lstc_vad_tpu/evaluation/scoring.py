@@ -44,6 +44,9 @@ def _resolve(feats):
 
 
 def _scorer_apply(encoder, head, kind, l2, params, x):
+    # bf16-transferred batches are upcast on device: the compute path stays
+    # f32 regardless of the wire dtype (cf. data.transfer_dtype for training)
+    x = x.astype(jnp.float32)
     if l2:
         # UCF eval-only quirk: F.normalize(p=2) on the raw features
         # (Test/evaluation_UCF.py:77)
@@ -70,16 +73,24 @@ class VideoScorer:
     'classifier' -> probs[:, 1] (abnormal class)."""
 
     def __init__(self, encoder, head, kind: str, l2_normalize: bool = False,
-                 sharding=None):
+                 sharding=None, transfer_dtype: str = "float32"):
         """``sharding``: optional NamedSharding for the token batch (e.g.
         parallel.mesh.batch_sharding(mesh)) — evaluation then runs
         data-parallel across the mesh; params may be tp-sharded, GSPMD
-        inserts the collectives."""
+        inserts the collectives.
+
+        ``transfer_dtype``: 'bfloat16' casts the host batch before the H2D
+        copy — halves wire bytes on transfer-bound links (remote-attached
+        chips; same knob as data.transfer_dtype for training).  The device
+        upcasts and computes in f32, but the features lose bf16 precision:
+        scores shift at ~1e-2 relative, so the default stays f32 for
+        reference parity."""
         self.encoder = encoder
         self.head = head
         self.kind = kind
         self.l2_normalize = l2_normalize
         self.sharding = sharding
+        self.transfer_dtype = transfer_dtype
         self._multiprocess = None  # derived once on first sharded call
 
     @functools.cached_property
@@ -102,7 +113,12 @@ class VideoScorer:
     def score_tokens(self, params, tokens: np.ndarray) -> np.ndarray:
         """tokens: [B, T, d] float32 -> scores [B] (host numpy).
         Large batches are chunked so one device program never exceeds the
-        top bucket."""
+        top bucket.  Batches far from a bucket size are scored as the
+        largest exact-bucket prefix + the remainder (greedy decomposition):
+        padding rows are real H2D bytes, and on a remote-attached chip the
+        transfer dominates — e.g. 544 parts padded to 1024 would ship 88%
+        dead rows; 512+32 ships none.  Small waste (<=256 rows) stays one
+        padded call: an extra dispatch costs more than the bytes."""
         n = tokens.shape[0]
         chunk = BUCKETS[-2]
         if n > chunk:
@@ -110,6 +126,17 @@ class VideoScorer:
                 self.score_tokens(params, tokens[i:i + chunk])
                 for i in range(0, n, chunk)])
         bucket = pad_to_bucket(n)
+        if bucket - n > 256:
+            b = max(x for x in BUCKETS if x <= n)  # n > 256 here, so exists
+            return np.concatenate([self.score_tokens(params, tokens[:b]),
+                                   self.score_tokens(params, tokens[b:])])
+        if self.transfer_dtype != "float32" \
+                and str(tokens.dtype) != self.transfer_dtype:
+            import ml_dtypes
+
+            tokens = tokens.astype(
+                np.dtype(getattr(ml_dtypes, self.transfer_dtype,
+                                 self.transfer_dtype)))
         if self.sharding is not None:
             # the data-sharded leading axis must divide evenly over the mesh
             div = int(np.prod([self.sharding.mesh.shape[ax]
@@ -166,8 +193,9 @@ class ClipScorer:
     (Train/pseudo_labels_generator_spatio.py:54-61,81-84)."""
 
     def __init__(self, encoder, head, n_patch: int, sharding=None,
-                 kind: str = "regressor"):
-        self.scorer = VideoScorer(encoder, head, kind, sharding=sharding)
+                 kind: str = "regressor", transfer_dtype: str = "float32"):
+        self.scorer = VideoScorer(encoder, head, kind, sharding=sharding,
+                                  transfer_dtype=transfer_dtype)
         self.n_patch = n_patch
 
     def score_video(self, params, feats: np.ndarray) -> np.ndarray:
@@ -217,9 +245,11 @@ class PartScorer:
     one batch.  Returns (part_scores [n_parts], counts [n_parts])."""
 
     def __init__(self, encoder, head, part_len: int, n_patch: int,
-                 tail_rewindow: bool = True, sharding=None):
+                 tail_rewindow: bool = True, sharding=None,
+                 transfer_dtype: str = "float32"):
         self.scorer = VideoScorer(encoder, head, "classifier",
-                                  sharding=sharding)
+                                  sharding=sharding,
+                                  transfer_dtype=transfer_dtype)
         self.part_len = part_len
         self.n_patch = n_patch
         self.tail_rewindow = tail_rewindow
@@ -302,7 +332,7 @@ class UCFBinnedScorer:
     def __init__(self, encoder, head, part_len: int, n_patch: int,
                  max_clips: int = 32, l2_normalize: bool = True,
                  tail_rewindow: bool = True, adaptive_bins: bool = False,
-                 sharding=None):
+                 sharding=None, transfer_dtype: str = "float32"):
         """Three reference variants map onto the flags:
         - final eval (Test/evaluation_UCF.py): l2_normalize=True,
           tail_rewindow=True, adaptive_bins=False, n_clips from n_frames//16;
@@ -313,7 +343,8 @@ class UCFBinnedScorer:
           l2_normalize=False, tail_rewindow=False, adaptive_bins=False."""
         self.scorer = VideoScorer(encoder, head, "classifier",
                                   l2_normalize=l2_normalize,
-                                  sharding=sharding)
+                                  sharding=sharding,
+                                  transfer_dtype=transfer_dtype)
         self.part_len = part_len
         self.n_patch = n_patch
         self.max_clips = max_clips
@@ -366,9 +397,10 @@ class UCFClipBinScorer:
     Returns (scores [n_non_empty], bin_ids [n_non_empty], r)."""
 
     def __init__(self, encoder, head, n_patch: int, max_clips: int = 32,
-                 sharding=None):
+                 sharding=None, transfer_dtype: str = "float32"):
         self.scorer = VideoScorer(encoder, head, "regressor",
-                                  sharding=sharding)
+                                  sharding=sharding,
+                                  transfer_dtype=transfer_dtype)
         self.n_patch = n_patch
         self.max_clips = max_clips
 

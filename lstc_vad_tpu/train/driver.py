@@ -131,26 +131,28 @@ class Trainer:
     def _build_scorers(self):
         cfg, d = self.cfg, self.cfg.data
         sh = self.sharding  # eval batches data-sharded when a mesh is set
+        td = d.transfer_dtype  # bf16 halves eval H2D bytes too (opt-in)
         if cfg.model.startswith("stn"):
             if d.dataset == "UCF":
                 self.scorer = UCFClipBinScorer(self.encoder, self.head,
                                                d.n_patch, cfg.max_clips,
-                                               sharding=sh)
+                                               sharding=sh, transfer_dtype=td)
             else:
                 self.scorer = ClipScorer(self.encoder, self.head, d.n_patch,
-                                         sharding=sh)
+                                         sharding=sh, transfer_dtype=td)
         else:
             if d.dataset == "UCF":
                 # in-training eval flags (Train/temporal_transformer_UCF.py)
                 self.scorer = UCFBinnedScorer(
                     self.encoder, self.head, d.part_len, d.n_patch,
                     max_clips=cfg.max_clips, l2_normalize=False,
-                    tail_rewindow=False, adaptive_bins=True, sharding=sh)
+                    tail_rewindow=False, adaptive_bins=True, sharding=sh,
+                    transfer_dtype=td)
             else:
                 self.scorer = PartScorer(self.encoder, self.head, d.part_len,
                                          d.n_patch,
                                          tail_rewindow=cfg.eval_tail_rewindow,
-                                         sharding=sh)
+                                         sharding=sh, transfer_dtype=td)
 
     # ---------------------------------------------------------------- eval
 

@@ -142,3 +142,102 @@ def test_apply_cache_is_bounded():
         s._apply  # touch: distinct config -> distinct cache entry
     assert len(scoring._APPLY_CACHE) <= scoring._APPLY_CACHE_MAX
     assert first._apply is pinned  # evicted from the LRU, still usable
+
+
+def test_score_tokens_bucket_decomposition():
+    """Batches far from a bucket size ship as exact-bucket prefix + rest
+    (padding rows are real H2D bytes on a remote-attached chip); results
+    are identical to the one-padded-call path, and small waste stays one
+    call."""
+    from lstc_vad_tpu.evaluation import scoring
+
+    enc = Encoder(EncoderConfig(**SMALL))
+    head = make_head("regressor", 16, 8)
+    s = scoring.VideoScorer(enc, head, "regressor")
+    real = s._apply
+    sizes = []
+
+    def recording(params, x):
+        sizes.append(x.shape[0])
+        return real(params, x)
+
+    s.__dict__["_apply"] = recording  # override the cached_property
+    params = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 4, 16), np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, 16), np.float32))["params"]}
+    rng = np.random.default_rng(0)
+    tokens = rng.standard_normal((544, 4, 16)).astype(np.float32)
+
+    got = s.score_tokens(params, tokens)
+    assert sizes == [512, 32]  # 512 exact + 32 exact, NOT one padded 1024
+    assert got.shape == (544,)
+
+    sizes.clear()
+    got_small = s.score_tokens(params, tokens[:17])
+    assert sizes == [32]  # waste <= 256 rows: one padded call
+    # per-row scores agree across batch sizes up to XLA tiling noise (the
+    # same tolerance bucket padding always implied)
+    np.testing.assert_allclose(got_small, got[:17], rtol=1e-5)
+
+    # padding rows do not leak into real scores: one padded 1024-row call
+    # (the pre-decomposition behavior) matches the decomposed result
+    padded = np.concatenate([tokens, np.zeros((480, 4, 16), np.float32)])
+    sizes.clear()
+    ref = s.score_tokens(params, padded)[:544]
+    assert sizes == [1024]
+    np.testing.assert_allclose(got, ref, rtol=1e-5)
+
+
+def test_transfer_dtype_bf16_scores_close(tmp_path):
+    """transfer_dtype='bfloat16' halves H2D bytes; the device upcasts and
+    computes f32, so scores match the f32-wire path to bf16 input rounding
+    (opt-in: eval defaults stay f32 for reference parity)."""
+    import ml_dtypes
+
+    from lstc_vad_tpu.evaluation import scoring
+
+    enc = Encoder(EncoderConfig(**SMALL))
+    head = make_head("regressor", 16, 8)
+    params = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 4, 16), np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, 16), np.float32))["params"]}
+    rng = np.random.default_rng(1)
+    tokens = rng.standard_normal((33, 4, 16)).astype(np.float32)
+
+    f32 = scoring.VideoScorer(enc, head, "regressor")
+    bf16 = scoring.VideoScorer(enc, head, "regressor",
+                               transfer_dtype="bfloat16")
+    sent = {}
+    orig_put = jax.device_put
+
+    def spy_put(x, *a, **k):
+        sent.setdefault("dtype", getattr(x, "dtype", None))
+        return orig_put(x, *a, **k)
+
+    a = f32.score_tokens(params, tokens)
+    jax.device_put = spy_put
+    try:
+        b = bf16.score_tokens(params, tokens)
+    finally:
+        jax.device_put = orig_put
+    np.testing.assert_allclose(a, b, atol=2e-2)
+    assert not np.allclose(a, b, atol=1e-9)  # genuinely different wire dtype
+    # trainer plumbs data.transfer_dtype into its scorer
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.train.driver import Trainer
+    h5, _, test_txt, mask_dir = make_sht_like(str(tmp_path), n_patch=3,
+                                              d_model=16)
+    cfg = preset("sht_ltn", **{
+        "encoder.d_model": 16, "encoder.d_inner": 24, "encoder.n_head": 2,
+        "encoder.d_k": 8, "encoder.d_v": 8, "encoder.n_layers": 1,
+        "encoder.window_size": 2, "head.d_model": 16, "head.hidden_dim": 8,
+        "data.h5_path": h5, "data.test_txt": test_txt,
+        "data.test_mask_dir": mask_dir, "data.n_patch": 3,
+        "data.d_model": 16, "data.transfer_dtype": "bfloat16"})
+    tr = Trainer(cfg, eval_only=True)
+    assert tr.scorer.scorer.transfer_dtype == "bfloat16"
