@@ -43,6 +43,38 @@ def _resolve(feats):
     return feats() if callable(feats) else feats
 
 
+def _read_ahead(feats_list, depth: int = 1):
+    """Yield resolved feature arrays, loading ``depth`` videos ahead in a
+    reader thread: video N+1's h5/pack read overlaps video N's host copy and
+    device dispatch (the 1-core host would serialize IO with everything else
+    otherwise).  Bounded queue keeps at most current + depth arrays alive —
+    the streaming guarantee (tests/test_streaming.py) is preserved.
+    Loader exceptions re-raise in the consumer."""
+    import queue
+    import threading
+
+    q: "queue.Queue" = queue.Queue(maxsize=depth)
+    done = object()
+
+    def worker():
+        try:
+            for f in feats_list:
+                q.put((None, _resolve(f)))
+        except BaseException as e:  # surface in the consuming thread
+            q.put((e, None))
+            return
+        q.put((None, done))
+
+    threading.Thread(target=worker, daemon=True).start()
+    while True:
+        err, item = q.get()
+        if err is not None:
+            raise err
+        if item is done:
+            return
+        yield item
+
+
 def _scorer_apply(encoder, head, kind, l2, params, x):
     # bf16-transferred batches are upcast on device: the compute path stays
     # f32 regardless of the wire dtype (cf. data.transfer_dtype for training)
@@ -110,26 +142,14 @@ class VideoScorer:
             _APPLY_CACHE.move_to_end(key)
         return fn
 
-    def score_tokens(self, params, tokens: np.ndarray) -> np.ndarray:
-        """tokens: [B, T, d] float32 -> scores [B] (host numpy).
-        Large batches are chunked so one device program never exceeds the
-        top bucket.  Batches far from a bucket size are scored as the
-        largest exact-bucket prefix + the remainder (greedy decomposition):
-        padding rows are real H2D bytes, and on a remote-attached chip the
-        transfer dominates — e.g. 544 parts padded to 1024 would ship 88%
-        dead rows; 512+32 ships none.  Small waste (<=256 rows) stays one
-        padded call: an extra dispatch costs more than the bytes."""
+    def _dispatch(self, params, tokens: np.ndarray):
+        """ONE bucket-padded device dispatch (no host sync): returns a
+        zero-arg resolve() -> scores [n].  jax dispatch is asynchronous —
+        H2D copy and compute are enqueued here and only the resolve call
+        blocks, so a caller that defers resolution keeps the next batch's
+        transfer in flight while this one computes."""
         n = tokens.shape[0]
-        chunk = BUCKETS[-2]
-        if n > chunk:
-            return np.concatenate([
-                self.score_tokens(params, tokens[i:i + chunk])
-                for i in range(0, n, chunk)])
         bucket = pad_to_bucket(n)
-        if bucket - n > 256:
-            b = max(x for x in BUCKETS if x <= n)  # n > 256 here, so exists
-            return np.concatenate([self.score_tokens(params, tokens[:b]),
-                                   self.score_tokens(params, tokens[b:])])
         if self.transfer_dtype != "float32" \
                 and str(tokens.dtype) != self.transfer_dtype:
             import ml_dtypes
@@ -153,12 +173,83 @@ class VideoScorer:
                 self._multiprocess = is_multiprocess(self.sharding.mesh)
             if self._multiprocess:
                 # global mesh: all processes run this same code on the same
-                # tokens; scores come back via allgather
+                # tokens; scores come back via allgather (synchronous — the
+                # collective fetch must run in program order on every
+                # process, so no deferral on this path)
                 tokens = to_global(tokens, self.sharding)
-                return fetch(self._apply(params, tokens))[:n]
+                out = fetch(self._apply(params, tokens))[:n]
+                return lambda: out
             tokens = jax.device_put(tokens, self.sharding)
         scores = self._apply(params, tokens)
-        return np.asarray(scores)[:n]
+        return lambda: np.asarray(scores)[:n]
+
+    def _plan_segments(self, n: int):
+        """Split a batch of n rows into dispatch segment sizes.
+        Large batches are chunked so one device program never exceeds the
+        top bucket.  Batches far from a bucket size are scored as the
+        largest exact-bucket prefix + the remainder (greedy decomposition):
+        padding rows are real H2D bytes, and on a remote-attached chip the
+        transfer dominates — e.g. 544 parts padded to 1024 would ship 88%
+        dead rows; 512+32 ships none.  Small waste (<=256 rows) stays one
+        padded call: an extra dispatch costs more than the bytes."""
+        chunk = BUCKETS[-2]
+        segs = []
+        while n > 0:
+            if n >= chunk:
+                take = chunk
+            else:
+                bucket = pad_to_bucket(n)
+                take = (max(x for x in BUCKETS if x <= n)
+                        if bucket - n > 256 else n)
+            segs.append(take)
+            n -= take
+        return segs
+
+    def score_tokens_async(self, params, tokens: np.ndarray):
+        """Dispatch every segment of the batch WITHOUT blocking; returns a
+        zero-arg resolve() -> scores [B].  All segments' transfers/computes
+        are enqueued back-to-back (they pipeline on device), and callers
+        scoring many batches can double-buffer: dispatch batch N+1 before
+        resolving batch N."""
+        resolvers, pos = [], 0
+        for s in self._plan_segments(tokens.shape[0]):
+            resolvers.append(self._dispatch(params, tokens[pos:pos + s]))
+            pos += s
+        if not resolvers:
+            return lambda: np.empty(0, np.float32)
+        if len(resolvers) == 1:
+            return resolvers[0]
+        return lambda: np.concatenate([r() for r in resolvers])
+
+    def score_tokens(self, params, tokens: np.ndarray) -> np.ndarray:
+        """tokens: [B, T, d] float32 -> scores [B] (host numpy)."""
+        return self.score_tokens_async(params, tokens)()
+
+
+class _Pipeline:
+    """Bounded dispatch pipeline for the cross-video scorers: batch N+1's
+    H2D transfer and compute are enqueued before batch N's scores are
+    fetched (score_tokens_async), overlapping transfer with compute.
+    ``max_inflight`` bounds live device batches (a 2048-part LTN chunk is
+    ~0.8 GB of HBM)."""
+
+    def __init__(self, max_inflight: int = 2):
+        self._q = collections.deque()
+        self._max = max_inflight
+
+    def add(self, resolve, sink):
+        """``resolve``: zero-arg -> scores; ``sink``: consumes them."""
+        self._q.append((resolve, sink))
+        while len(self._q) >= self._max:
+            self._pop()
+
+    def _pop(self):
+        resolve, sink = self._q.popleft()
+        sink(resolve())
+
+    def drain(self):
+        while self._q:
+            self._pop()
 
 
 class ArtifactVideoScorer:
@@ -181,6 +272,13 @@ class ArtifactVideoScorer:
                 self.score_tokens(None, tokens[i:i + chunk])
                 for i in range(0, len(tokens), chunk)])
         return self.loaded.score(tokens)
+
+    def score_tokens_async(self, params, tokens: np.ndarray):
+        """Pipeline-interface shim: the serialized jax.export call is
+        synchronous, so 'dispatch' computes eagerly and resolve just
+        returns."""
+        out = self.score_tokens(params, tokens)
+        return lambda: out
 
 
 class ClipScorer:
@@ -213,8 +311,8 @@ class ClipScorer:
         chunk = BUCKETS[-2]
         lengths = []
         flat_parts, buf, filled = [], None, 0
-        for f in feats_list:
-            f = _resolve(f)
+        pipe = _Pipeline()  # overlap chunk N+1's H2D with chunk N's compute
+        for f in _read_ahead(feats_list):
             t = np.ascontiguousarray(f[:, :self.n_patch, :], dtype=np.float32)
             del f
             lengths.append(t.shape[0])
@@ -228,10 +326,13 @@ class ClipScorer:
                 filled += take
                 pos += take
                 if filled == chunk:
-                    flat_parts.append(self.scorer.score_tokens(params, buf))
+                    pipe.add(self.scorer.score_tokens_async(params, buf),
+                             flat_parts.append)
                     buf, filled = None, 0
         if buf is not None and filled:
-            flat_parts.append(self.scorer.score_tokens(params, buf[:filled]))
+            pipe.add(self.scorer.score_tokens_async(params, buf[:filled]),
+                     flat_parts.append)
+        pipe.drain()
         flat = np.concatenate(flat_parts) if flat_parts else np.empty(0)
         out, cursor = [], 0
         for n in lengths:
@@ -285,18 +386,24 @@ class PartScorer:
         shorts: List[Tuple[int, int, np.ndarray]] = []
         buf = None
         pending: List[Tuple[int, int]] = []
+        pipe = _Pipeline()  # overlap chunk N+1's H2D with chunk N's compute
 
         def flush():
             nonlocal buf
             if pending:
-                scores = self.scorer.score_tokens(params, buf[:len(pending)])
-                for (v, i), s in zip(pending, scores):
-                    out[v][i] = s
+                targets = list(pending)
+
+                def sink(scores, targets=targets):
+                    for (v, i), s in zip(targets, scores):
+                        out[v][i] = s
+
+                pipe.add(self.scorer.score_tokens_async(
+                    params, buf[:len(pending)]), sink)
             buf = None
             pending.clear()
 
-        for v, feats in enumerate(feats_list):
-            feats = np.ascontiguousarray(_resolve(feats)[:, :self.n_patch, :],
+        for v, feats in enumerate(_read_ahead(feats_list)):
+            feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
                                          dtype=np.float32)
             n_clips, n_patch, d = feats.shape
             idx_list, counts = part_slices(n_clips, self.part_len,
@@ -315,6 +422,7 @@ class PartScorer:
                 if len(pending) == chunk:
                     flush()
         flush()
+        pipe.drain()
         for v, i, gathered in shorts:
             tokens = gathered.reshape(1, -1, gathered.shape[-1])
             out[v][i] = self.scorer.score_tokens(params, tokens)[0]
@@ -373,7 +481,9 @@ class UCFBinnedScorer:
         """Cross-video batched variant: items = [(feats, n_clips)].
         Returns [(part_scores, parts, r)] aligned with items — one device
         call per token-length group across ALL videos."""
-        plans = [self._plan(f, n) for f, n in items]
+        items = list(items)
+        plans = [self._plan(f, n) for f, (_, n) in zip(
+            _read_ahead([f for f, _ in items]), items)]
         groups: dict = {}
         for v, (binned, parts, _r) in enumerate(plans):
             for i, (beg, end) in enumerate(parts):
@@ -422,10 +532,12 @@ class UCFClipBinScorer:
         """Cross-video batched variant: items = [(feats, n_clips)] ->
         [(scores, bin_ids, r)].  All videos' pooled bin tokens go through
         chunked score_tokens calls instead of one dispatch per video."""
+        items = list(items)
         plans = []
         all_tokens = []
-        for feats, n_clips in items:
-            feats = np.ascontiguousarray(_resolve(feats)[:, :self.n_patch, :],
+        for feats, (_, n_clips) in zip(_read_ahead([f for f, _ in items]),
+                                       items):
+            feats = np.ascontiguousarray(feats[:, :self.n_patch, :],
                                          dtype=np.float32)
             r = ucf_bin_edges(n_clips, self.max_clips)
             bin_ids = [i for i in range(self.max_clips) if r[i] != r[i + 1]]

@@ -241,3 +241,52 @@ def test_transfer_dtype_bf16_scores_close(tmp_path):
         "data.d_model": 16, "data.transfer_dtype": "bfloat16"})
     tr = Trainer(cfg, eval_only=True)
     assert tr.scorer.scorer.transfer_dtype == "bfloat16"
+
+
+def test_part_scorer_double_buffers_dispatches():
+    """Cross-video scoring overlaps transfer with compute: chunk N+1 is
+    DISPATCHED before chunk N's scores are fetched (bounded at 2 in-flight
+    device batches), and results land in order."""
+    from lstc_vad_tpu.evaluation import scoring
+
+    cfg = EncoderConfig(relative_pe=True, window_size=2, window_depth=3,
+                        mha_layernorm=True, ffn_layernorm=True, **SMALL)
+    enc = Encoder(cfg)
+    head = make_head("classifier", 16, 8)
+    params = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 12, 16), np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, 16), np.float32))["params"]}
+    scorer = scoring.PartScorer(enc, head, part_len=3, n_patch=4)
+    events = []
+    real_async = scorer.scorer.score_tokens_async
+
+    def spy_async(p, tokens):
+        i = len([e for e in events if e[0] == "dispatch"])
+        events.append(("dispatch", i))
+        resolve = real_async(p, tokens)
+
+        def wrapped():
+            events.append(("resolve", i))
+            return resolve()
+
+        return wrapped
+
+    scorer.scorer.score_tokens_async = spy_async
+    rng = np.random.default_rng(0)
+    # 3 videos x 1700 parts -> 5100 full parts = 2 full 2048-chunks + tail
+    feats = [rng.standard_normal((5100, 4, 16)).astype(np.float32)
+             for _ in range(3)]
+    results = scorer.score_videos(params, feats)
+    assert len(results) == 3 and all(len(s) == 1700 for s, _ in results)
+    assert ("dispatch", 1) in events and ("resolve", 0) in events
+    # chunk 1 dispatched BEFORE chunk 0 resolved: transfer/compute overlap
+    assert events.index(("dispatch", 1)) < events.index(("resolve", 0))
+    # FIFO: resolutions happen in dispatch order
+    resolves = [i for kind, i in events if kind == "resolve"]
+    assert resolves == sorted(resolves)
+
+    # numerics identical to the unpipelined single-video path
+    direct, _ = scorer.score_video(params, feats[0])
+    np.testing.assert_allclose(results[0][0], direct, rtol=1e-5)

@@ -217,3 +217,33 @@ def test_multicrop_mean_eval_streams_per_crop(tmp_path):
     assert store.max_live <= 3, (
         f"{store.max_live} tenCrop arrays alive at once — the 10-crop eval "
         "materialized the split instead of streaming")
+
+
+def test_read_ahead_propagates_loader_errors():
+    """A failing lazy loader (missing h5 key, truncated file) surfaces in
+    the caller, not silently in the reader thread."""
+    import pytest
+
+    from lstc_vad_tpu.evaluation.scoring import _read_ahead
+
+    def boom():
+        raise KeyError("missing_video.npy")
+
+    good = np.zeros((4, 2, 8), np.float32)
+    it = _read_ahead([lambda: good, boom, lambda: good])
+    np.testing.assert_array_equal(next(it), good)
+    with pytest.raises(KeyError, match="missing_video"):
+        list(it)
+
+
+def test_read_ahead_bounds_live_arrays():
+    """depth=1 read-ahead keeps at most current + next arrays alive."""
+    from lstc_vad_tpu.evaluation.scoring import _read_ahead
+
+    store = SyntheticStore(n_clips=50, n_patch=4, d=16)
+    loaders = [(lambda k=f"v{i}": store.get(k)) for i in range(20)]
+    for feats in _read_ahead(loaders):
+        assert feats.shape == (50, 4, 16)
+        del feats
+    assert store.reads == 20
+    assert store.max_live <= 3
