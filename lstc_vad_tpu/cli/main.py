@@ -622,6 +622,39 @@ def cmd_coteach(args):
     return 0
 
 
+def cmd_info(_args):
+    """Operator diagnostics: package/jax versions, visible devices and their
+    memory, the mesh `--mesh auto` would build, and cache/env knobs — the
+    first thing to ask for when a remote-attached TPU misbehaves."""
+    import os
+
+    import jax
+
+    from .. import __version__
+    from ..parallel.mesh import factor_devices
+
+    print(f"lstc_vad_tpu {__version__} | jax {jax.__version__} | "
+          f"backend {jax.default_backend()}")
+    devices = jax.devices()
+    print(f"process {jax.process_index()}/{jax.process_count()}, "
+          f"{len(devices)} visible device(s):")
+    for dev in devices:
+        line = f"  [{dev.id}] {dev.platform}:{dev.device_kind}"
+        stats = getattr(dev, "memory_stats", lambda: None)()
+        if stats and "bytes_limit" in stats:
+            used = stats.get("bytes_in_use", 0) / 1e9
+            limit = stats["bytes_limit"] / 1e9
+            line += f"  {used:.2f}/{limit:.2f} GB HBM in use"
+        print(line)
+    n_head = 8  # default preset head count; --mesh auto uses the real one
+    dp, tp = factor_devices(len(devices), n_head)
+    print(f"--mesh auto would build data={dp} x model={tp}")
+    for var in ("LSTC_VAD_COMPILE_CACHE", "LSTC_VAD_PLATFORM"):
+        print(f"{var}={os.environ.get(var, '<unset>')}")
+    print(f"presets: {', '.join(sorted(PRESETS))}")
+    return 0
+
+
 def cmd_pack(args):
     from ..data.packed import pack_h5
 
@@ -978,6 +1011,10 @@ def main(argv=None):
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering platforms")
     p.set_defaults(fn=cmd_export_aot)
+
+    p = sub.add_parser("info", help="print versions, devices, HBM usage, "
+                                    "auto-mesh factorization and env knobs")
+    p.set_defaults(fn=cmd_info)
 
     p = sub.add_parser("pack", help="convert a reference h5 feature file "
                                     "into the native .lstcpack store")

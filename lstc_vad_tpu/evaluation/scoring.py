@@ -410,7 +410,30 @@ class PartScorer:
                                            self.tail_rewindow)
             all_counts.append(counts)
             out.append(np.empty(len(idx_list), dtype=np.float32))
-            for i, idx in enumerate(idx_list):
+            # parts 0..n_aligned-1 are stride-aligned slices: pack them into
+            # the chunk buffer with block copies off one reshape VIEW of the
+            # video (no per-part gather; ~30% less host copy time on the
+            # one-core host).  The re-windowed tail (full-length but
+            # unaligned) and short tails take the per-part path below.
+            n_aligned = n_clips // self.part_len
+            full_view = feats[:n_aligned * self.part_len].reshape(
+                n_aligned, self.part_len * n_patch, d)
+            pos = 0
+            while pos < n_aligned:
+                if buf is None:
+                    buf = np.empty((chunk, self.part_len * n_patch, d),
+                                   np.float32)
+                take = min(chunk - len(pending), n_aligned - pos)
+                buf[len(pending):len(pending) + take] = \
+                    full_view[pos:pos + take]
+                pending.extend((v, i) for i in range(pos, pos + take))
+                pos += take
+                if len(pending) == chunk:
+                    flush()
+            del full_view  # a view of feats: holding it across the next
+            # video's read-ahead would keep this video's array alive
+            for i in range(n_aligned, len(idx_list)):
+                idx = idx_list[i]
                 if len(idx) != self.part_len:
                     shorts.append((v, i, feats[idx]))
                     continue

@@ -759,3 +759,12 @@ def test_cli_sweep_rank_by(tmp_path, capsys):
               + common)
     assert rc == 0
     assert "rank  gate_auc  test_auc  overrides" in capsys.readouterr().out
+
+
+def test_cli_info(capsys):
+    rc = main(["info"])
+    assert rc == 0
+    out = capsys.readouterr().out
+    assert "lstc_vad_tpu" in out and "backend" in out
+    assert "--mesh auto would build" in out
+    assert "presets:" in out
