@@ -26,7 +26,13 @@ import numpy as np
 class StreamingScorer:
     def __init__(self, encoder, head, params, part_len: int, n_patch: int,
                  d_model: int, max_streams: int = 64,
-                 head_kind: str = "classifier"):
+                 head_kind: str = "classifier",
+                 transfer_dtype: str = "float32"):
+        """``transfer_dtype='bfloat16'`` stores stream buffers AND ships
+        flush batches in bf16 — halves both buffer RAM and the H2D bytes of
+        the flush (which is transfer-bound on remote-attached chips, see
+        docs/ARCHITECTURE.md).  Compute stays f32 on device; scores shift
+        by the bf16 rounding of the features, so the default stays f32."""
         self.encoder = encoder
         self.head = head
         self.params = params
@@ -35,8 +41,18 @@ class StreamingScorer:
         self.d_model = d_model
         self.max_streams = max_streams
         self.head_kind = head_kind
+        self.transfer_dtype = transfer_dtype
         self._buffers: Dict[str, List[np.ndarray]] = {}
         self._apply = self._build()
+
+    @property
+    def _wire_dtype(self):
+        if self.transfer_dtype == "float32":
+            return np.float32
+        import ml_dtypes
+
+        return np.dtype(getattr(ml_dtypes, self.transfer_dtype,
+                                self.transfer_dtype))
 
     @classmethod
     def from_artifact(cls, path: str, max_streams: int = 64,
@@ -73,10 +89,12 @@ class StreamingScorer:
         self.d_model = meta["d_model"]
         self.max_streams = max_streams
         self.head_kind = meta["kind"]
+        self.transfer_dtype = "float32"  # exported programs take f32 input
         self._buffers = {}
         # LoadedScorer.score handles batch padding and returns host numpy of
         # the input batch size; params are baked into the loaded artifact
-        self._apply = lambda _params, tokens: loaded.score(tokens)
+        self._apply = lambda _params, tokens: loaded.score(
+            np.asarray(tokens, dtype=np.float32))
         return self
 
     def _build(self):
@@ -84,6 +102,9 @@ class StreamingScorer:
 
         @jax.jit
         def apply(params, tokens):
+            import jax.numpy as jnp
+
+            tokens = tokens.astype(jnp.float32)  # bf16 wire upcasts on device
             h = encoder.apply({"params": params["encoder"]}, tokens,
                               deterministic=True)
             out = head.apply({"params": params["head"]}, h[:, 0, :],
@@ -96,7 +117,7 @@ class StreamingScorer:
         """Append one clip's features [n_patch, d] to a stream's buffer."""
         buf = self._buffers.setdefault(stream_id, [])
         clip = np.ascontiguousarray(clip_feat[:self.n_patch, :],
-                                    dtype=np.float32)
+                                    dtype=self._wire_dtype)
         if clip.shape != (self.n_patch, self.d_model):
             raise ValueError(f"clip shape {clip.shape} != "
                              f"({self.n_patch}, {self.d_model})")
@@ -135,7 +156,7 @@ class StreamingScorer:
             for start in range(0, len(entries), self.max_streams):
                 group = entries[start:start + self.max_streams]
                 tokens = np.zeros((self.max_streams, tok_len, self.d_model),
-                                  np.float32)
+                                  self._wire_dtype)
                 for i, (_, tok) in enumerate(group):
                     tokens[i] = tok
                 scores = np.asarray(
@@ -162,7 +183,7 @@ class StreamingScorer:
         for start in range(0, len(ready), self.max_streams):
             group = ready[start:start + self.max_streams]
             tokens = np.zeros((len(group), self.part_len * self.n_patch,
-                               self.d_model), np.float32)
+                               self.d_model), self._wire_dtype)
             for i, sid in enumerate(group):
                 part = self._buffers[sid][:self.part_len]
                 del self._buffers[sid][:self.part_len]
@@ -170,7 +191,8 @@ class StreamingScorer:
             pad = self.max_streams - len(group)
             if pad:
                 tokens = np.concatenate(
-                    [tokens, np.zeros((pad,) + tokens.shape[1:], np.float32)])
+                    [tokens, np.zeros((pad,) + tokens.shape[1:],
+                                      self._wire_dtype)])
             scores = np.asarray(self._apply(self.params, tokens))[:len(group)]
             results.extend(zip(group, scores.tolist()))
         return results

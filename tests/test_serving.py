@@ -181,3 +181,26 @@ def test_from_artifact_rejects_l2(model, tmp_path):
                          extra_meta={"n_patch": 4, "part_len": 3})
     with pytest.raises(ValueError, match="exported with --l2"):
         StreamingScorer.from_artifact(art)
+
+
+def test_streaming_scorer_bf16_wire(model):
+    """transfer_dtype='bfloat16': buffers and flush batches are bf16 (half
+    RAM + half H2D bytes); scores match the f32 wire to bf16 rounding."""
+    import ml_dtypes
+
+    enc, head, params = model
+    kw = dict(part_len=3, n_patch=4, d_model=16, max_streams=4)
+    f32 = StreamingScorer(enc, head, params, **kw)
+    bf16 = StreamingScorer(enc, head, params, transfer_dtype="bfloat16",
+                           **kw)
+    rng = np.random.default_rng(7)
+    clips = [rng.standard_normal((4, 16)).astype(np.float32)
+             for _ in range(7)]
+    for c in clips:
+        f32.push("s", c)
+        bf16.push("s", c)
+    assert bf16._buffers["s"][0].dtype == np.dtype(ml_dtypes.bfloat16)
+    a = f32.end_stream("s")
+    b = bf16.end_stream("s")
+    assert len(a) == len(b) == 3  # 2 full parts + 1-clip tail
+    np.testing.assert_allclose(a, b, atol=2e-2)
