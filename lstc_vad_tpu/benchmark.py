@@ -39,6 +39,11 @@ runs, not extrapolated from the flagship shape):
   padding rows (evaluation/scoring.py score_tokens).
 - ``ubnormal_eval_snippets_per_sec``: UBnormal LTN eval — d_model 1024,
   part_len 5 (81-token parts), the README.md:55 shape.
+- ``hostfed_eval_snippets_per_sec``: the SHT LTN sweep fed from HOST memory
+  through the production scorer path (read-ahead + block packing +
+  exact-bucket decomposition + double-buffered dispatch) — includes the
+  H2D transfer the flagship's device-resident number excludes; tunnel-
+  bandwidth-bound in this environment.
 - ``train_snippets_per_sec``: the full jitted SHT LTN train step (fwd + bwd
   + two-group Adagrad, donated state, device-resident preset-sized batch) —
   the device program of Train/temporal_transformer_shanghaitech.py:99-142.
@@ -254,6 +259,34 @@ def _ucf_eval(rng):
     return n_videos * clips_per_video / dt
 
 
+def _hostfed_eval(rng):
+    """SHT LTN eval fed from HOST memory through the production scorer path
+    (PartScorer.score_videos: read-ahead + block packing + exact-bucket
+    decomposition + double-buffered async dispatch) — the H2D-inclusive
+    number the device-resident flagship sweep cannot show.  On
+    remote-attached chips this is transfer-bound; the pipelining recovers
+    ~1.67x vs synchronous dispatch (docs/ARCHITECTURE.md)."""
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.evaluation.scoring import PartScorer
+
+    cfg = preset("sht_ltn")
+    d = cfg.encoder.d_model
+    part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
+    encoder, head, params, _ = _build_apply(cfg)
+    scorer = PartScorer(encoder, head, part_len, n_patch)
+    # 2 videos x 1536 clips = 1024 full parts (~0.4 GB of wire per sweep —
+    # bounded so a degraded tunnel cannot stall the whole bench artifact)
+    feats = [rng.standard_normal(
+        (1536, n_patch, d)).astype(np.float32) for _ in range(2)]
+    scorer.score_videos(params, feats)  # compile + warm
+    sweeps = 2
+    t0 = time.perf_counter()
+    for _ in range(sweeps):
+        scorer.score_videos(params, feats)
+    dt = (time.perf_counter() - t0) / sweeps
+    return 2 * 1536 / dt
+
+
 def _train_step(rng):
     """SHT LTN train step: fwd + bwd + two-group Adagrad, donated state
     (the device program of Train/temporal_transformer_shanghaitech.py:99-142).
@@ -298,6 +331,7 @@ def _run():
     stn_rate, stn_tflops = _stn_eval(rng)
     ub_rate, ub_tflops = _ubnormal_eval(rng)
     ucf_rate = _ucf_eval(rng)
+    hostfed_rate = _hostfed_eval(rng)
     # train phase last: each phase's staging is freed on helper return, so
     # the backward's activation temps (~8 GB at bs=40 f32) never share HBM
     # with an eval sweep's parts on the 15.75 GB chip
@@ -307,6 +341,7 @@ def _run():
           f"TFLOP/s) | stn: {stn_rate:.0f} ({stn_tflops:.1f}) | "
           f"ubnormal: {ub_rate:.0f} ({ub_tflops:.1f}) | "
           f"ucf end-to-end: {ucf_rate:.0f} | "
+          f"host-fed: {hostfed_rate:.0f} | "
           f"train: {train_rate:.0f} ({train_tflops:.1f})", file=sys.stderr)
     print(json.dumps({
         "metric": "sht_ltn_eval_snippets_per_sec",
@@ -323,6 +358,7 @@ def _run():
         "ubnormal_eval_snippets_per_sec": round(ub_rate, 1),
         "ubnormal_eval_tflops": round(ub_tflops, 1),
         "ucf_eval_snippets_per_sec": round(ucf_rate, 1),
+        "hostfed_eval_snippets_per_sec": round(hostfed_rate, 1),
     }))
 
 

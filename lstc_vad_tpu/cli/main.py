@@ -458,17 +458,15 @@ def cmd_evaluate(args):
         if not 0 <= crop <= 9:
             raise SystemExit(f"--eval-crop index out of range 0-9: {crop}")
         cfg = replace(cfg, **{"data.eval_crop": crop})
-    if args.dump_scores and (args.per_class or args.eval_crop == "mean"):
-        raise SystemExit("--dump-scores exports the standard per-video eval "
-                         "scores; it cannot be combined with --per-class or "
-                         "--eval-crop mean")
+    if args.dump_scores and args.per_class:
+        raise SystemExit("--dump-scores exports per-video eval scores; it "
+                         "cannot be combined with --per-class")
     if args.bootstrap is not None:
         if args.bootstrap < 1:
             raise SystemExit(f"--bootstrap needs N >= 1, got {args.bootstrap}")
-        if args.per_class or args.eval_crop == "mean":
-            raise SystemExit("--bootstrap applies to the standard per-video "
-                             "eval; it cannot be combined with --per-class "
-                             "or --eval-crop mean")
+        if args.per_class:
+            raise SystemExit("--bootstrap applies to the per-video eval; it "
+                             "cannot be combined with --per-class")
     mesh = _mesh_from_args(args, cfg.encoder.n_head)
     if mesh is not None and args.artifact:
         raise SystemExit("--mesh shards the live flax scorer; AOT artifacts "
@@ -524,6 +522,9 @@ def cmd_evaluate(args):
                                "mean_pr_auc": float(mean_ap),
                                "dataset": d.dataset})
         return 0
+    rl = bool(args.bootstrap)
+    want = dict(return_scores=bool(args.dump_scores), return_labels=rl)
+    extra_record = {}
     if args.eval_crop == "mean":
         # 10-crop averaged eval over the tenCrop test loaders
         if not d.ten_crop:
@@ -547,16 +548,11 @@ def cmd_evaluate(args):
                     for v in trainer.test_videos]
 
         fn = evaluate_stn if cfg.model.startswith("stn") else evaluate_ltn
-        auc = evaluate_multicrop_mean(fn, params, trainer.scorer,
-                                      items_for_crop, d.segment_len)
-        print(f"auc = {auc}")
-        trainer._emit_metrics({"kind": "final_eval", "auc": float(auc),
-                               "dataset": d.dataset, "model": cfg.model,
-                               "eval_crop": "mean"})
-        return 0
-    rl = bool(args.bootstrap)
-    want = dict(return_scores=bool(args.dump_scores), return_labels=rl)
-    if d.dataset == "UCF":
+        result = evaluate_multicrop_mean(fn, params, trainer.scorer,
+                                         items_for_crop, d.segment_len,
+                                         **want)
+        extra_record = {"eval_crop": "mean"}
+    elif d.dataset == "UCF":
         items = [(trainer._lazy_feat(v), v.anno,
                   v.n_frames // d.segment_len)
                  for v in trainer.test_videos]
@@ -592,7 +588,7 @@ def cmd_evaluate(args):
         print(f"frame scores -> {args.dump_scores}")
     print(f"auc = {auc}")
     record = {"kind": "final_eval", "auc": float(auc),
-              "dataset": d.dataset, "model": cfg.model}
+              "dataset": d.dataset, "model": cfg.model, **extra_record}
     if rl:
         from ..evaluation.metrics import bootstrap_auc_ci
 

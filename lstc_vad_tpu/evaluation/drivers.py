@@ -76,14 +76,18 @@ def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
 
 
 def evaluate_multicrop_mean(eval_fn, params, scorer, items_for_crop,
-                            segment_len: int = 16, n_crops: int = 10) -> float:
+                            segment_len: int = 16, n_crops: int = 10,
+                            return_scores: bool = False,
+                            return_labels: bool = False):
     """10-crop averaged evaluation: per-video frame scores averaged over the
     crops, then one frame AUC.  The reference ships tenCrop TEST loaders
     (utils/load_dataset.py:338-362,731-755) but no eval script; this is the
     standard averaged-crop semantics, opt-in via the CLI's --eval-crop mean.
 
     ``eval_fn``: evaluate_stn or evaluate_ltn.  ``items_for_crop(c)`` yields
-    that crop's (feats, anno) items (feats may be lazy loaders)."""
+    that crop's (feats, anno) items (feats may be lazy loaders).  Scores and
+    labels assemble per video, so --bootstrap / --dump-scores work here like
+    every other eval path."""
     score_sum, annos = None, None
     for crop in range(n_crops):
         items = list(items_for_crop(crop))
@@ -102,7 +106,7 @@ def evaluate_multicrop_mean(eval_fn, params, scorer, items_for_crop,
                else np.asarray(anno[:len(s)], dtype=np.float64))
         all_scores.append(s[:len(lab)])
         all_labels.append(lab)
-    return _concat_auc(all_scores, all_labels)
+    return _result(all_scores, all_labels, return_scores, return_labels)
 
 
 def evaluate_ucf_ltn(params, scorer: UCFBinnedScorer,

@@ -314,12 +314,17 @@ def test_cli_evaluate_eval_crop_mean(tmp_path, capsys):
     fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
                             n_clips=(14, 30), ten_crop=True)
     common = _common(fixture)
+    npz = str(tmp_path / "mean_scores.npz")
     rc = main(["evaluate", "--preset", "sht_ltn", "--eval-crop", "mean",
-               "--set", "data.ten_crop=true"] + common)
+               "--set", "data.ten_crop=true", "--bootstrap", "25",
+               "--dump-scores", npz] + common)
     assert rc == 0
     out = capsys.readouterr().out
-    auc_mean = float(out.strip().split("auc = ")[-1])
+    assert "95% CI [" in out  # bootstrap works on the averaged per-video eval
+    auc_mean = float(_auc_lines(out)[-1].split("auc = ")[-1])
     assert 0.0 <= auc_mean <= 1.0
+    dumped = np.load(npz)
+    assert len(dumped.files) == 7  # averaged frame scores, one per video
 
     # single-crop eval through the same flag takes the int path
     rc = main(["evaluate", "--preset", "sht_ltn", "--eval-crop", "2",
@@ -368,8 +373,10 @@ def test_cli_eval_crop_validation_and_dump_scores_conflict(tmp_path):
     with pytest.raises(SystemExit, match="out of range"):
         main(["evaluate", "--preset", "sht_ltn", "--eval-crop", "10"]
              + common)
+    # --dump-scores/--bootstrap now work with --eval-crop mean (averaged
+    # per-video scores); only --per-class remains incompatible
     with pytest.raises(SystemExit, match="cannot be combined"):
-        main(["evaluate", "--preset", "sht_ltn", "--eval-crop", "mean",
+        main(["evaluate", "--preset", "ucf_ltn", "--per-class",
               "--dump-scores", str(tmp_path / "s.npz")] + common)
 
 
@@ -551,9 +558,6 @@ def test_cli_bootstrap_and_grid_validation(tmp_path):
     with pytest.raises(SystemExit, match="N >= 1"):
         main(["evaluate", "--preset", "sht_ltn", "--bootstrap", "-5"]
              + common)
-    with pytest.raises(SystemExit, match="cannot be combined"):
-        main(["evaluate", "--preset", "sht_ltn", "--bootstrap", "10",
-              "--eval-crop", "mean", "--set", "data.ten_crop=true"] + common)
     with pytest.raises(SystemExit, match="duplicate axis"):
         main(["sweep", "--preset", "sht_stn", "--epochs", "1",
               "--grid", "optim.lr_head=1e-2,3e-2",
