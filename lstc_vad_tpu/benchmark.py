@@ -236,10 +236,14 @@ def _ucf_eval(rng):
     """UCF LTN final-eval path end to end through UCFBinnedScorer: host
     32-bin linspace mean-pool + device L2-norm + encoder at part_len=2
     (Test/evaluation_UCF.py:52-77).  Snippets = raw input clips."""
-    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.config import preset, replace
     from lstc_vad_tpu.evaluation.scoring import UCFBinnedScorer
 
-    cfg = preset("ucf_ltn")
+    # the final-eval shape override cmd_evaluate applies (part_len=2 and the
+    # matching window_depth=2 RPE table, Test/evaluation_UCF.py:33,42) — the
+    # measured program is the one production compiles
+    cfg = replace(preset("ucf_ltn"), **{"encoder.window_depth": 2,
+                                        "data.part_len": 2})
     d, n_patch = cfg.encoder.d_model, cfg.data.n_patch
     encoder, head, params, _ = _build_apply(cfg)
     # final-eval flags: part_len=2, 32 bins, L2 (cli/main.py ucf_final_scorer)

@@ -47,9 +47,10 @@ def _read_ahead(feats_list, depth: int = 1):
     """Yield resolved feature arrays, loading ``depth`` videos ahead in a
     reader thread: video N+1's h5/pack read overlaps video N's host copy and
     device dispatch (the 1-core host would serialize IO with everything else
-    otherwise).  Bounded queue keeps at most current + depth arrays alive —
-    the streaming guarantee (tests/test_streaming.py) is preserved.
-    Loader exceptions re-raise in the consumer."""
+    otherwise).  Worst-case liveness is current + depth + 1 arrays (the
+    consumer's, the queue's, and the worker's in-flight read blocked on the
+    full queue) — the streaming guarantee (tests/test_streaming.py pins 3 at
+    depth=1) is preserved.  Loader exceptions re-raise in the consumer."""
     import queue
     import threading
 

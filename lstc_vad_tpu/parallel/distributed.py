@@ -49,9 +49,12 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
                       f"running single-process")
 
 
-def make_global_mesh(n_head: int = 8, max_model: int = 8) -> Mesh:
+def make_global_mesh(n_head: int = 8, max_model: int = 4) -> Mesh:
     """('data','model') mesh over ALL devices across hosts; the model axis
-    divides the per-host device count so tp collectives ride ICI only."""
+    divides the per-host device count so tp collectives ride ICI only, and
+    caps at 4 like factor_devices' default — tp profit saturates at the
+    d_model contractions, dp absorbs growth (docs/ARCHITECTURE.md
+    'Parallelism')."""
     devices = np.asarray(jax.devices())
     local = jax.local_device_count()
     _, model = factor_devices(local, n_head=n_head, max_model=max_model)
