@@ -190,22 +190,29 @@ def _flagship_eval(rng):
     return batched, batched / ref_rate, tflops
 
 
+def _device_sweep(cfg, rng, n_rows: int, tokens: int, batch: int):
+    """Rows-per-second of a device-resident [n_rows, tokens, d] sweep:
+    build, stage, compile, time (the shared shape of every device-bound
+    eval phase)."""
+    import jax
+
+    rows = rng.standard_normal(
+        (n_rows, tokens, cfg.encoder.d_model)).astype(np.float32)
+    _, _, params, apply = _build_apply(cfg)
+    staged = [jax.device_put(rows[i:i + batch])
+              for i in range(0, n_rows, batch)]
+    float(apply(params, staged[0]).sum())  # compile
+    return _sweep_rate(apply, params, staged, n_rows)
+
+
 def _stn_eval(rng):
     """SHT STN eval: 17-token clip sequences through the regressor
     (Train/spatio_transformer_shanghaitech.py:133-137)."""
-    import jax
-
     from lstc_vad_tpu.config import preset
 
     cfg = preset("sht_stn")
-    d, n_patch = cfg.encoder.d_model, cfg.data.n_patch
-    n_clips, batch = 16384, 2048
-    clips = rng.standard_normal((n_clips, n_patch, d)).astype(np.float32)
-    _, _, params, apply = _build_apply(cfg)
-    staged = [jax.device_put(clips[i:i + batch])
-              for i in range(0, n_clips, batch)]
-    float(apply(params, staged[0]).sum())  # compile
-    rate = _sweep_rate(apply, params, staged, n_clips)
+    n_patch = cfg.data.n_patch
+    rate = _device_sweep(cfg, rng, n_rows=16384, tokens=n_patch, batch=2048)
     tflops = rate * flops_per_tokens(cfg, n_patch + 1) / 1e12
     return rate, tflops
 
@@ -213,23 +220,15 @@ def _stn_eval(rng):
 def _ubnormal_eval(rng):
     """UBnormal LTN eval: d_model 1024, part_len 5 -> 81-token parts
     (README.md:55 shape; Train/temporal_transformer_UBnormal.py)."""
-    import jax
-
     from lstc_vad_tpu.config import preset
 
     cfg = preset("ubnormal_ltn")
-    d = cfg.encoder.d_model
     part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
     tokens = part_len * n_patch
-    n_parts, batch = 4096, 1024
-    parts = rng.standard_normal((n_parts, tokens, d)).astype(np.float32)
-    _, _, params, apply = _build_apply(cfg)
-    staged = [jax.device_put(parts[i:i + batch])
-              for i in range(0, n_parts, batch)]
-    float(apply(params, staged[0]).sum())  # compile
-    rate = _sweep_rate(apply, params, staged, n_parts) * part_len
-    tflops = (rate / part_len) * flops_per_tokens(cfg, tokens + 1) / 1e12
-    return rate, tflops
+    parts_rate = _device_sweep(cfg, rng, n_rows=4096, tokens=tokens,
+                               batch=1024)
+    tflops = parts_rate * flops_per_tokens(cfg, tokens + 1) / 1e12
+    return parts_rate * part_len, tflops
 
 
 def _ucf_eval(rng):

@@ -153,11 +153,9 @@ class VideoScorer:
         bucket = pad_to_bucket(n)
         if self.transfer_dtype != "float32" \
                 and str(tokens.dtype) != self.transfer_dtype:
-            import ml_dtypes
+            from ..utils.misc import resolve_np_dtype
 
-            tokens = tokens.astype(
-                np.dtype(getattr(ml_dtypes, self.transfer_dtype,
-                                 self.transfer_dtype)))
+            tokens = tokens.astype(resolve_np_dtype(self.transfer_dtype))
         if self.sharding is not None:
             # the data-sharded leading axis must divide evenly over the mesh
             div = int(np.prod([self.sharding.mesh.shape[ax]

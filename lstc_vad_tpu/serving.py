@@ -49,10 +49,9 @@ class StreamingScorer:
     def _wire_dtype(self):
         if self.transfer_dtype == "float32":
             return np.float32
-        import ml_dtypes
+        from .utils.misc import resolve_np_dtype
 
-        return np.dtype(getattr(ml_dtypes, self.transfer_dtype,
-                                self.transfer_dtype))
+        return resolve_np_dtype(self.transfer_dtype)
 
     @classmethod
     def from_artifact(cls, path: str, max_streams: int = 64,

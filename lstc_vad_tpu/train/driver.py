@@ -227,10 +227,9 @@ class Trainer:
         d = self.cfg.data
         feature_dtype = None
         if d.transfer_dtype != "float32":
-            import ml_dtypes
+            from ..utils.misc import resolve_np_dtype
 
-            feature_dtype = np.dtype(getattr(ml_dtypes, d.transfer_dtype,
-                                             d.transfer_dtype))
+            feature_dtype = resolve_np_dtype(d.transfer_dtype)
         batches = Prefetcher(
             BatchIterator(self.dataset, d.batch_size, drop_last=True),
             sharding=self.sharding, feature_dtype=feature_dtype,

@@ -7,6 +7,16 @@ from __future__ import annotations
 import numpy as np
 
 
+def resolve_np_dtype(name: str) -> np.dtype:
+    """Numpy dtype from a config string, resolving ml_dtypes names
+    ('bfloat16', 'float8_e4m3fn', ...) that plain np.dtype rejects — the
+    one lookup behind every transfer_dtype knob (training pipeline, eval
+    scorers, streaming serving)."""
+    import ml_dtypes
+
+    return np.dtype(getattr(ml_dtypes, name, name))
+
+
 def random_perturb(v_len: int, num_segments: int,
                    rng: np.random.Generator) -> np.ndarray:
     """Per-segment random index sampler (utils/utils.py:118-131): segment i
