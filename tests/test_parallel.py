@@ -51,3 +51,20 @@ def test_multichip_matches_single_device():
     m1 = run_multichip_step(1, batch_size=4)
     # same math, different partitioning: losses agree to float32 reduction noise
     assert m8["loss"] == pytest.approx(m1["loss"], rel=1e-4)
+
+
+def test_make_global_mesh_matches_factor_devices_default():
+    """The multihost mesh defaults to the same tp-cap-at-4 factorization as
+    factor_devices (the 16-device cap itself is pinned above): on this
+    8-device single-process host the global mesh is data=2 x model=4."""
+    import inspect
+
+    from lstc_vad_tpu.parallel.distributed import make_global_mesh
+
+    mesh = make_global_mesh(n_head=8)
+    assert mesh.shape["model"] == 4 and mesh.shape["data"] == 2
+    # the default cap must track factor_devices' (a >=16-local-device host
+    # cannot be simulated here, so pin the signature)
+    assert inspect.signature(
+        make_global_mesh).parameters["max_model"].default == \
+        inspect.signature(factor_devices).parameters["max_model"].default
