@@ -387,8 +387,9 @@ def cmd_gen_pseudo(args):
         store = CropView(store, d.eval_crop)
     records = load_train_records(d.dataset, d.train_txt)
     if args.kind == "stn":
-        scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch,
-                            kind=cfg.head.kind, sharding=trainer.sharding)
+        scorer = ClipScorer(trainer.eval_encoder, trainer.head, d.n_patch,
+                            kind=cfg.head.kind, sharding=trainer.sharding,
+                            transfer_dtype=d.eval_transfer_dtype)
         if loaded_artifact is not None:
             scorer = _wrap_artifact(scorer, loaded_artifact, expect_l2=False)
         pseudo = generate_stn_pseudo_labels(trainer.state.params, scorer,
@@ -400,15 +401,17 @@ def cmd_gen_pseudo(args):
             # (Train/pseudo_labels_generator_temporal.py:70); cfg.max_clips
             # defaults to that and a --set override stays consistent with
             # the eval path's
-            scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
+            scorer = UCFBinnedScorer(trainer.eval_encoder, trainer.head,
                                      d.part_len, d.n_patch,
                                      max_clips=cfg.max_clips,
                                      l2_normalize=False, tail_rewindow=False,
-                                     sharding=trainer.sharding)
+                                     sharding=trainer.sharding,
+                                     transfer_dtype=d.eval_transfer_dtype)
         else:
-            scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
-                                d.n_patch, tail_rewindow=False,
-                                sharding=trainer.sharding)
+            scorer = PartScorer(trainer.eval_encoder, trainer.head,
+                                d.part_len, d.n_patch, tail_rewindow=False,
+                                sharding=trainer.sharding,
+                                transfer_dtype=d.eval_transfer_dtype)
         if loaded_artifact is not None:
             # no-rewindow paths score tails at their true length: the
             # artifact needs a program per tail length (export-aot --tails),
@@ -494,11 +497,12 @@ def cmd_evaluate(args):
         # final-eval flags (Test/evaluation_UCF.py): part_len 2, fixed 32
         # bins from n_frames//16, L2-normalized features — shared by the
         # headline AUC and the per-class table
-        scorer = UCFBinnedScorer(trainer.encoder, trainer.head, part_len=2,
+        scorer = UCFBinnedScorer(trainer.eval_encoder, trainer.head,
+                                 part_len=2,
                                  n_patch=d.n_patch, max_clips=cfg.max_clips,
                                  l2_normalize=True, tail_rewindow=True,
                                  sharding=trainer.sharding,
-                                 transfer_dtype=d.transfer_dtype)
+                                 transfer_dtype=d.eval_transfer_dtype)
         if loaded_artifact is not None:
             scorer = _wrap_artifact(scorer, loaded_artifact, expect_l2=True)
         return scorer
@@ -842,6 +846,10 @@ def cmd_export_aot(args):
     cfg = _apply_common(preset(args.preset), args)
     if not args.train_shapes:
         cfg = _ucf_final_eval_shapes(cfg)
+    # exported artifacts are EVAL programs: f32 compute regardless of the
+    # training compute_dtype, remat off (same rule as Trainer eval scorers)
+    cfg = replace(cfg, **{"encoder.compute_dtype": "float32",
+                          "encoder.remat": False})
     from ..export import save_scorer_artifact
     from ..train.state import create_train_state
 

@@ -100,6 +100,11 @@ class DataConfig:
     sample: str = "uniform"         # "uniform" | "random" jitter mode
     transfer_dtype: str = "float32" # "bfloat16" halves host->device batch
                                     # bytes (features only; labels stay f32)
+    eval_transfer_dtype: str = "float32"  # eval/pseudo-gen wire dtype — its
+                                    # OWN knob: transfer_dtype is a training
+                                    # throughput lever and must never shift
+                                    # eval scores/AUC silently (bf16 features
+                                    # round at ~1e-2 relative)
     ten_crop: bool = False
     eval_crop: Optional[int] = None # which of the 10 crops to evaluate with
                                     # (tenCrop stores only; the reference has

@@ -90,8 +90,11 @@ class CoTeachingDriver:
     def generate_stn_pseudo(self, trainer: Trainer):
         d = trainer.cfg.data
         records = load_train_records(d.dataset, d.train_txt)
-        scorer = ClipScorer(trainer.encoder, trainer.head, d.n_patch,
-                            sharding=trainer.sharding)
+        # eval_encoder: pseudo-label scoring is inference — f32 compute even
+        # when the round trained in bf16 (train/driver.py _make_eval_encoder)
+        scorer = ClipScorer(trainer.eval_encoder, trainer.head, d.n_patch,
+                            sharding=trainer.sharding,
+                            transfer_dtype=d.eval_transfer_dtype)
         params = (trainer.best_params if trainer.best_params is not None
                   else trainer.state.params)
         pseudo = generate_stn_pseudo_labels(
@@ -108,15 +111,17 @@ class CoTeachingDriver:
             # max_clips from the round's config (reference generator
             # hardcodes 32, Train/pseudo_labels_generator_temporal.py:70 —
             # the config default; an override stays consistent with eval)
-            scorer = UCFBinnedScorer(trainer.encoder, trainer.head,
+            scorer = UCFBinnedScorer(trainer.eval_encoder, trainer.head,
                                      d.part_len, d.n_patch,
                                      max_clips=trainer.cfg.max_clips,
                                      l2_normalize=False, tail_rewindow=False,
-                                     sharding=trainer.sharding)
+                                     sharding=trainer.sharding,
+                                     transfer_dtype=d.eval_transfer_dtype)
         else:
-            scorer = PartScorer(trainer.encoder, trainer.head, d.part_len,
-                                d.n_patch, tail_rewindow=False,
-                                sharding=trainer.sharding)
+            scorer = PartScorer(trainer.eval_encoder, trainer.head,
+                                d.part_len, d.n_patch, tail_rewindow=False,
+                                sharding=trainer.sharding,
+                                transfer_dtype=d.eval_transfer_dtype)
         params = (trainer.best_params if trainer.best_params is not None
                   else trainer.state.params)
         pseudo = generate_ltn_pseudo_labels(

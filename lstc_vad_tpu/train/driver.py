@@ -128,28 +128,48 @@ class Trainer:
                                                self.tx)
         self._build_scorers()
 
+    def _make_eval_encoder(self):
+        """Evaluation/pseudo-gen compute stays f32 whatever the training
+        compute_dtype: the reference's eval scripts are plain torch f32
+        (Test/evaluation_shanghaitech_ubnormal.py:24-97), so the bf16 TRAIN
+        step (the recommended throughput config, docs/ARCHITECTURE.md) must
+        never move eval AUC.  remat is a train-memory knob — off for
+        inference.  Params are structurally identical either way, so the
+        train state drops straight in."""
+        ec = self.cfg.encoder
+        if ec.compute_dtype == "float32" and not ec.remat:
+            return self.encoder
+        from ..models import Encoder
+
+        return Encoder(dataclasses.replace(ec, compute_dtype="float32",
+                                           remat=False))
+
     def _build_scorers(self):
         cfg, d = self.cfg, self.cfg.data
         sh = self.sharding  # eval batches data-sharded when a mesh is set
-        td = d.transfer_dtype  # bf16 halves eval H2D bytes too (opt-in)
+        # eval wire dtype is DECOUPLED from data.transfer_dtype: the train
+        # throughput knob must not silently change eval scores; bf16 eval
+        # wires are their own opt-in (data.eval_transfer_dtype)
+        td = d.eval_transfer_dtype
+        self.eval_encoder = enc = self._make_eval_encoder()
         if cfg.model.startswith("stn"):
             if d.dataset == "UCF":
-                self.scorer = UCFClipBinScorer(self.encoder, self.head,
+                self.scorer = UCFClipBinScorer(enc, self.head,
                                                d.n_patch, cfg.max_clips,
                                                sharding=sh, transfer_dtype=td)
             else:
-                self.scorer = ClipScorer(self.encoder, self.head, d.n_patch,
+                self.scorer = ClipScorer(enc, self.head, d.n_patch,
                                          sharding=sh, transfer_dtype=td)
         else:
             if d.dataset == "UCF":
                 # in-training eval flags (Train/temporal_transformer_UCF.py)
                 self.scorer = UCFBinnedScorer(
-                    self.encoder, self.head, d.part_len, d.n_patch,
+                    enc, self.head, d.part_len, d.n_patch,
                     max_clips=cfg.max_clips, l2_normalize=False,
                     tail_rewindow=False, adaptive_bins=True, sharding=sh,
                     transfer_dtype=td)
             else:
-                self.scorer = PartScorer(self.encoder, self.head, d.part_len,
+                self.scorer = PartScorer(enc, self.head, d.part_len,
                                          d.n_patch,
                                          tail_rewindow=cfg.eval_tail_rewindow,
                                          sharding=sh, transfer_dtype=td)

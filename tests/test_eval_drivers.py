@@ -211,36 +211,76 @@ def test_transfer_dtype_bf16_scores_close(tmp_path):
     f32 = scoring.VideoScorer(enc, head, "regressor")
     bf16 = scoring.VideoScorer(enc, head, "regressor",
                                transfer_dtype="bfloat16")
+    # spy on the batch actually handed to the jitted apply: the bf16 cast
+    # must happen on host, BEFORE the H2D transfer
     sent = {}
-    orig_put = jax.device_put
+    orig_apply = bf16._apply  # materialize the cached_property
 
-    def spy_put(x, *a, **k):
-        sent.setdefault("dtype", getattr(x, "dtype", None))
-        return orig_put(x, *a, **k)
+    def spy_apply(p, t):
+        sent.setdefault("dtype", np.asarray(t).dtype)
+        return orig_apply(p, t)
+
+    bf16.__dict__["_apply"] = spy_apply
 
     a = f32.score_tokens(params, tokens)
-    jax.device_put = spy_put
-    try:
-        b = bf16.score_tokens(params, tokens)
-    finally:
-        jax.device_put = orig_put
+    b = bf16.score_tokens(params, tokens)
+    assert sent["dtype"] == ml_dtypes.bfloat16
     np.testing.assert_allclose(a, b, atol=2e-2)
     assert not np.allclose(a, b, atol=1e-9)  # genuinely different wire dtype
-    # trainer plumbs data.transfer_dtype into its scorer
+    # the TRAIN wire knob (data.transfer_dtype) must NOT leak into eval
+    # scorers: eval has its own opt-in (data.eval_transfer_dtype), so a
+    # training throughput lever can never silently shift eval scores/AUC
     from fixtures import make_sht_like
     from lstc_vad_tpu.config import preset
     from lstc_vad_tpu.train.driver import Trainer
     h5, _, test_txt, mask_dir = make_sht_like(str(tmp_path), n_patch=3,
                                               d_model=16)
-    cfg = preset("sht_ltn", **{
+    small = {
         "encoder.d_model": 16, "encoder.d_inner": 24, "encoder.n_head": 2,
         "encoder.d_k": 8, "encoder.d_v": 8, "encoder.n_layers": 1,
         "encoder.window_size": 2, "head.d_model": 16, "head.hidden_dim": 8,
         "data.h5_path": h5, "data.test_txt": test_txt,
         "data.test_mask_dir": mask_dir, "data.n_patch": 3,
-        "data.d_model": 16, "data.transfer_dtype": "bfloat16"})
-    tr = Trainer(cfg, eval_only=True)
+        "data.d_model": 16}
+    tr = Trainer(preset("sht_ltn", **small,
+                        **{"data.transfer_dtype": "bfloat16"}),
+                 eval_only=True)
+    assert tr.scorer.scorer.transfer_dtype == "float32"
+    tr = Trainer(preset("sht_ltn", **small,
+                        **{"data.eval_transfer_dtype": "bfloat16"}),
+                 eval_only=True)
     assert tr.scorer.scorer.transfer_dtype == "bfloat16"
+
+
+def test_eval_compute_stays_f32_under_bf16_training(tmp_path):
+    """encoder.compute_dtype=bfloat16 (the recommended TRAIN throughput
+    config) must not touch evaluation: the Trainer's eval scorers run an
+    f32-compute encoder, so eval scores are bit-identical to an f32-config
+    trainer holding the same params (reference parity — the torch eval
+    scripts are f32 regardless of how training ran)."""
+    from fixtures import make_sht_like
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.train.driver import Trainer
+
+    h5, _, test_txt, mask_dir = make_sht_like(str(tmp_path), n_patch=3,
+                                              d_model=16)
+    small = {
+        "encoder.d_model": 16, "encoder.d_inner": 24, "encoder.n_head": 2,
+        "encoder.d_k": 8, "encoder.d_v": 8, "encoder.n_layers": 1,
+        "encoder.window_size": 2, "head.d_model": 16, "head.hidden_dim": 8,
+        "data.h5_path": h5, "data.test_txt": test_txt,
+        "data.test_mask_dir": mask_dir, "data.n_patch": 3,
+        "data.d_model": 16}
+    tr_bf16 = Trainer(preset(
+        "sht_ltn", **small,
+        **{"encoder.compute_dtype": "bfloat16", "encoder.remat": True}),
+        eval_only=True)
+    tr_f32 = Trainer(preset("sht_ltn", **small), eval_only=True)
+    assert tr_bf16.eval_encoder.cfg.compute_dtype == "float32"
+    assert tr_bf16.eval_encoder.cfg.remat is False
+    # identical params -> bit-identical eval (shared f32 program)
+    tr_bf16.state = tr_bf16.state.replace(params=tr_f32.state.params)
+    assert tr_bf16.evaluate("test") == tr_f32.evaluate("test")
 
 
 def test_part_scorer_double_buffers_dispatches():
