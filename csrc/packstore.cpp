@@ -20,6 +20,14 @@
 //   index at index_offset, per video:
 //     u32 key_len | key bytes | u64 offset | u32 n_clips | u32 n_patch |
 //     u32 d_model
+//
+// The format is fully validated at open: the index walk is bounds-checked
+// against the mapped size and every entry's payload extent
+// (offset + n_clips*n_patch*d_model*4, overflow-checked) must lie inside the
+// file — a truncated, bit-flipped or hostile pack fails ps_open with a
+// distinct error code instead of reading past the mapping in ps_get/
+// ps_gather.  The Python fallback reader (data/packed.py _NumpyPack) applies
+// the same checks.
 
 #include <cstdint>
 #include <cstring>
@@ -60,28 +68,51 @@ T read_le(const uint8_t*& p) {
 
 extern "C" {
 
-void* ps_open(const char* path) {
+// ps_open error codes (written to *err when the return is null):
+enum {
+  PS_OK = 0,
+  PS_ERR_IO = 1,        // open/fstat/mmap failed
+  PS_ERR_HEADER = 2,    // too small for a header, or bad magic
+  PS_ERR_INDEX = 3,     // index walk runs past the end of the file
+  PS_ERR_EXTENT = 4,    // a payload extent overflows or exceeds the file
+};
+
+void* ps_open_checked(const char* path, int32_t* err) {
+  int32_t scratch;
+  if (!err) err = &scratch;
+  *err = PS_ERR_IO;
   auto* ps = new PackStore();
   ps->fd = ::open(path, O_RDONLY);
   if (ps->fd < 0) { delete ps; return nullptr; }
   struct stat st;
   if (fstat(ps->fd, &st) != 0) { ::close(ps->fd); delete ps; return nullptr; }
   ps->size = static_cast<size_t>(st.st_size);
-  void* m = mmap(nullptr, ps->size, PROT_READ, MAP_SHARED, ps->fd, 0);
+  void* m = ps->size ? mmap(nullptr, ps->size, PROT_READ, MAP_SHARED,
+                            ps->fd, 0)
+                     : MAP_FAILED;
   if (m == MAP_FAILED) { ::close(ps->fd); delete ps; return nullptr; }
   ps->base = static_cast<const uint8_t*>(m);
-  if (ps->size < 20 || std::memcmp(ps->base, "LSTCPK01", 8) != 0) {
-    munmap(m, ps->size); ::close(ps->fd); delete ps; return nullptr;
-  }
+  auto fail = [&](int32_t code) -> void* {
+    *err = code;
+    munmap(m, ps->size); ::close(ps->fd); delete ps;
+    return nullptr;
+  };
+  if (ps->size < 20 || std::memcmp(ps->base, "LSTCPK01", 8) != 0)
+    return fail(PS_ERR_HEADER);
   const uint8_t* p = ps->base + 8;
   uint32_t n_videos = read_le<uint32_t>(p);
   uint64_t index_offset = read_le<uint64_t>(p);
-  if (index_offset >= ps->size) {
-    munmap(m, ps->size); ::close(ps->fd); delete ps; return nullptr;
-  }
+  if (index_offset > ps->size) return fail(PS_ERR_INDEX);
   p = ps->base + index_offset;
+  const uint8_t* end = ps->base + ps->size;
+  // remaining bytes from p — the walk below re-checks before every advance
+  auto have = [&](size_t n) {
+    return static_cast<size_t>(end - p) >= n;
+  };
   for (uint32_t i = 0; i < n_videos; ++i) {
+    if (!have(4)) return fail(PS_ERR_INDEX);
     uint32_t key_len = read_le<uint32_t>(p);
+    if (!have(static_cast<size_t>(key_len) + 20)) return fail(PS_ERR_INDEX);
     std::string key(reinterpret_cast<const char*>(p), key_len);
     p += key_len;
     VideoEntry e;
@@ -89,9 +120,23 @@ void* ps_open(const char* path) {
     e.n_clips = read_le<uint32_t>(p);
     e.n_patch = read_le<uint32_t>(p);
     e.d_model = read_le<uint32_t>(p);
+    // payload extent must fit in the file; the byte count is computed with
+    // explicit overflow checks (u32*u32 fits u64; the *4 and the compare
+    // are guarded by division)
+    uint64_t rows = static_cast<uint64_t>(e.n_clips) * e.n_patch;
+    if (e.d_model != 0 && rows > UINT64_MAX / 4 / e.d_model)
+      return fail(PS_ERR_EXTENT);
+    uint64_t bytes = rows * e.d_model * 4;
+    if (e.offset > ps->size || bytes > ps->size - e.offset)
+      return fail(PS_ERR_EXTENT);
     ps->index.emplace(std::move(key), e);
   }
+  *err = PS_OK;
   return ps;
+}
+
+void* ps_open(const char* path) {  // legacy entry: error code dropped
+  return ps_open_checked(path, nullptr);
 }
 
 void ps_close(void* handle) {
@@ -120,6 +165,9 @@ int ps_get(void* handle, const char* key, float* out) {
   const VideoEntry& e = it->second;
   size_t bytes = static_cast<size_t>(e.n_clips) * e.n_patch * e.d_model *
                  sizeof(float);
+  // extents are proven at ps_open; re-check before the copy anyway (a
+  // corrupt entry must never become an out-of-bounds read): rc -5
+  if (e.offset > ps->size || bytes > ps->size - e.offset) return -5;
   std::memcpy(out, ps->base + e.offset, bytes);
   return 0;
 }
@@ -132,7 +180,11 @@ int ps_gather(void* handle, const char* key, const int64_t* indices,
   auto it = ps->index.find(key);
   if (it == ps->index.end()) return -1;
   const VideoEntry& e = it->second;
-  if (n_patch_out > static_cast<int32_t>(e.n_patch)) return -2;
+  if (n_patch_out > static_cast<int32_t>(e.n_patch) || n_patch_out < 0)
+    return -2;
+  const size_t whole = static_cast<size_t>(e.n_clips) * e.n_patch *
+                       e.d_model * sizeof(float);
+  if (e.offset > ps->size || whole > ps->size - e.offset) return -5;
   const size_t clip_stride = static_cast<size_t>(e.n_patch) * e.d_model;
   const size_t out_stride = static_cast<size_t>(n_patch_out) * e.d_model;
   const float* src =

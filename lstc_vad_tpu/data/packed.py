@@ -23,6 +23,13 @@ import numpy as np
 MAGIC = b"LSTCPK01"
 _ALIGN = 64
 
+
+class PackFormatError(ValueError):
+    """Raised for a structurally invalid .lstcpack (truncated, bit-flipped,
+    or hostile): both readers fully validate the header, the index walk and
+    every payload extent at open, so corruption is a clean Python exception
+    — never a native crash or an out-of-bounds read."""
+
 _CSRC = os.path.join(os.path.dirname(__file__), "..", "..", "csrc")
 _LIB_PATH = os.path.abspath(os.path.join(_CSRC, "libpackstore.so"))
 
@@ -97,6 +104,9 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(path)
     lib.ps_open.restype = ctypes.c_void_p
     lib.ps_open.argtypes = [ctypes.c_char_p]
+    lib.ps_open_checked.restype = ctypes.c_void_p
+    lib.ps_open_checked.argtypes = [ctypes.c_char_p,
+                                    ctypes.POINTER(ctypes.c_int32)]
     lib.ps_close.argtypes = [ctypes.c_void_p]
     lib.ps_shape.restype = ctypes.c_int64
     lib.ps_shape.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
@@ -119,26 +129,55 @@ def _load_lib() -> Optional[ctypes.CDLL]:
 
 
 class _NumpyPack:
-    """Pure-numpy fallback reader for the pack format."""
+    """Pure-numpy fallback reader for the pack format.
+
+    Mirrors the native reader's validation (csrc/packstore.cpp ps_open_
+    checked): bounds-checked index walk + payload-extent checks, so a
+    corrupt pack raises PackFormatError at construction."""
 
     def __init__(self, path: str):
-        self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        try:
+            self._mm = np.memmap(path, dtype=np.uint8, mode="r")
+        except (OSError, ValueError) as e:  # empty file raises ValueError
+            raise PackFormatError(f"{path}: unreadable pack: {e}") from e
+        size = self._mm.shape[0]
+        if size < 20 or bytes(self._mm[:8]) != MAGIC:
+            raise PackFormatError(f"{path}: not a LSTCPK01 pack "
+                                  f"(size {size})")
         raw = bytes(self._mm[:20])
-        if raw[:8] != MAGIC:
-            raise ValueError(f"{path}: not a LSTCPK01 pack")
         n_videos, = struct.unpack_from("<I", raw, 8)
         index_offset, = struct.unpack_from("<Q", raw, 12)
+        if index_offset > size:
+            raise PackFormatError(
+                f"{path}: index offset {index_offset} beyond file size "
+                f"{size}")
         self.index: Dict[str, Tuple[int, int, int, int]] = {}
         buf = bytes(self._mm[index_offset:])
         pos = 0
-        for _ in range(n_videos):
+        for i in range(n_videos):
+            if pos + 4 > len(buf):
+                raise PackFormatError(
+                    f"{path}: truncated index at entry {i}/{n_videos}")
             key_len, = struct.unpack_from("<I", buf, pos)
             pos += 4
-            key = buf[pos:pos + key_len].decode()
+            if pos + key_len + 20 > len(buf):
+                raise PackFormatError(
+                    f"{path}: truncated index entry {i}/{n_videos} "
+                    f"(key_len {key_len})")
+            try:
+                key = buf[pos:pos + key_len].decode()
+            except UnicodeDecodeError as e:
+                raise PackFormatError(
+                    f"{path}: undecodable key in entry {i}") from e
             pos += key_len
             offset, n_clips, n_patch, d_model = struct.unpack_from(
                 "<QIII", buf, pos)
             pos += 20
+            nbytes = n_clips * n_patch * d_model * 4  # py ints: no overflow
+            if offset + nbytes > size:
+                raise PackFormatError(
+                    f"{path}: entry {key!r} extent [{offset}, "
+                    f"{offset + nbytes}) beyond file size {size}")
             self.index[key] = (offset, n_clips, n_patch, d_model)
 
     def shape(self, key):
@@ -163,10 +202,19 @@ class PackedStore:
         self._tc_patch = n_patch
         self._tc_d = d_model
         self._lib = _load_lib() if use_native else None
-        self._np = _NumpyPack(pack_path)
+        self._np = _NumpyPack(pack_path)  # validates the format up front
         self.native = False
         if self._lib is not None:
-            self._handle = self._lib.ps_open(pack_path.encode())
+            err = ctypes.c_int32(0)
+            self._handle = self._lib.ps_open_checked(pack_path.encode(),
+                                                     ctypes.byref(err))
+            if not self._handle and err.value != 0:
+                # the validated numpy reader accepted it but the native one
+                # didn't: a reader disagreement must never silently degrade
+                # to the slow path (codes: csrc/packstore.cpp ps_open enum)
+                raise PackFormatError(
+                    f"{pack_path}: native reader rejected the pack "
+                    f"(code {err.value}) that the fallback validated")
             self.native = bool(self._handle)
 
     # -- FeatureStore interface

@@ -1,11 +1,13 @@
 """Packed store: format round-trip, native vs numpy fallback parity,
-batch gather, h5 conversion, dataset integration."""
+batch gather, h5 conversion, dataset integration, corrupt-pack rejection."""
+
+import struct
 
 import numpy as np
 import pytest
 
-from lstc_vad_tpu.data.packed import (PackedStore, ensure_native, pack_h5,
-                                      write_pack)
+from lstc_vad_tpu.data.packed import (PackedStore, PackFormatError,
+                                      ensure_native, pack_h5, write_pack)
 
 from fixtures import make_sht_like
 
@@ -149,6 +151,153 @@ def test_batch_fast_path_matches_per_item(tmp_path, rng, native_available):
     assert len(it_fast) == 1
     for a, b in zip(it_fast[0], batch_slow):
         np.testing.assert_array_equal(a, b)
+
+
+# ------------------------------------------------------------ corruption
+# A corrupt pack must be a clean Python exception at PackedStore
+# construction — never a native segfault or out-of-bounds read
+# (csrc/packstore.cpp ps_open_checked; data/packed.py _NumpyPack).
+
+
+def _write_sample_pack(tmp_path, rng, name="c.lstcpack"):
+    path = str(tmp_path / name)
+    write_pack(path, _sample_videos(rng, n=3))
+    return path
+
+
+def _open_both(path, native_available):
+    """Construct with BOTH readers (the native open runs after the numpy
+    validation, so use_native=True exercises both)."""
+    PackedStore(path, use_native=False)
+    if native_available:
+        PackedStore(path, use_native=True).close()
+
+
+def test_truncation_fuzz(tmp_path, rng, native_available):
+    """Every truncation point — header, payload, mid-index — either opens a
+    smaller-but-valid pack (impossible here: extents break first) or raises
+    PackFormatError.  Sweeps ~40 deterministic cut points over the whole
+    file plus every byte of the first index entry."""
+    path = _write_sample_pack(tmp_path, rng)
+    data = open(path, "rb").read()
+    index_offset, = struct.unpack_from("<Q", data, 12)
+    cuts = sorted({0, 1, 7, 8, 12, 19, 20, len(data) - 1,
+                   index_offset - 1, index_offset,
+                   *range(index_offset + 1, min(index_offset + 30,
+                                                len(data))),
+                   *np.linspace(21, len(data) - 2, 15).astype(int).tolist()})
+    for cut in cuts:
+        trunc = str(tmp_path / "trunc.lstcpack")
+        with open(trunc, "wb") as f:
+            f.write(data[:cut])
+        with pytest.raises(PackFormatError):
+            PackedStore(trunc, use_native=False)
+        if native_available:
+            with pytest.raises(PackFormatError):
+                PackedStore(trunc, use_native=True)
+
+
+def test_corrupt_fields_rejected(tmp_path, rng, native_available):
+    """Targeted bit-flips: hostile key_len, payload offset/extent, index
+    offset, magic — each must raise, in both readers."""
+    path = _write_sample_pack(tmp_path, rng)
+    data = bytearray(open(path, "rb").read())
+    index_offset, = struct.unpack_from("<Q", data, 12)
+
+    def corrupted(mutate):
+        buf = bytearray(data)
+        mutate(buf)
+        out = str(tmp_path / "mut.lstcpack")
+        with open(out, "wb") as f:
+            f.write(buf)
+        return out
+
+    mutations = [
+        lambda b: b.__setitem__(slice(0, 8), b"XXXXXXXX"),        # magic
+        lambda b: struct.pack_into("<Q", b, 12, len(data) + 50),  # index ptr
+        lambda b: struct.pack_into("<I", b, index_offset,         # key_len
+                                   2**31),
+        lambda b: struct.pack_into(                               # huge clips
+            "<I", b, index_offset + 4
+            + struct.unpack_from("<I", data, index_offset)[0] + 8,
+            2**32 - 1),
+        lambda b: struct.pack_into(                               # bad offset
+            "<Q", b, index_offset + 4
+            + struct.unpack_from("<I", data, index_offset)[0],
+            len(data) * 2),
+    ]
+    for mutate in mutations:
+        bad = corrupted(mutate)
+        with pytest.raises(PackFormatError):
+            PackedStore(bad, use_native=False)
+        if native_available:
+            with pytest.raises(PackFormatError):
+                PackedStore(bad, use_native=True)
+
+
+def test_overflowing_extent_rejected(tmp_path, native_available):
+    """Hostile dims whose byte count overflows 64 bits must not wrap around
+    the extent check: craft an index entry with n_clips=n_patch=d_model=
+    2^32-1 (product * 4 overflows u64)."""
+    key = b"evil"
+    header = b"LSTCPK01" + struct.pack("<I", 1) + struct.pack("<Q", 20)
+    entry = (struct.pack("<I", len(key)) + key +
+             struct.pack("<QIII", 20, 2**32 - 1, 2**32 - 1, 2**32 - 1))
+    path = str(tmp_path / "evil.lstcpack")
+    with open(path, "wb") as f:
+        f.write(header + entry)
+    with pytest.raises(PackFormatError):
+        PackedStore(path, use_native=False)
+    if native_available:
+        with pytest.raises(PackFormatError):
+            PackedStore(path, use_native=True)
+
+
+def test_empty_and_tiny_files_rejected(tmp_path, native_available):
+    for content in (b"", b"LST", b"LSTCPK01"):
+        path = str(tmp_path / f"tiny{len(content)}.lstcpack")
+        with open(path, "wb") as f:
+            f.write(content)
+        with pytest.raises(PackFormatError):
+            PackedStore(path, use_native=False)
+        if native_available:
+            with pytest.raises(PackFormatError):
+                PackedStore(path, use_native=True)
+
+
+def test_random_corruption_fuzz(tmp_path, rng, native_available):
+    """200 random single-region corruptions (flip 1-8 bytes anywhere): the
+    store either opens AND serves every key correctly-shaped, or raises
+    PackFormatError/KeyError — never crashes.  Payload flips are allowed to
+    change VALUES (payload bytes carry no structure); structural flips must
+    be caught by validation."""
+    path = _write_sample_pack(tmp_path, rng)
+    data = open(path, "rb").read()
+    for trial in range(200):
+        buf = bytearray(data)
+        pos = int(rng.integers(0, len(buf)))
+        n = int(rng.integers(1, 9))
+        for off in range(n):
+            if pos + off < len(buf):
+                buf[pos + off] ^= int(rng.integers(1, 256))
+        bad = str(tmp_path / "fuzz.lstcpack")
+        with open(bad, "wb") as f:
+            f.write(buf)
+        for use_native in ([False, True] if native_available else [False]):
+            try:
+                store = PackedStore(bad, use_native=use_native)
+            except PackFormatError:
+                continue
+            try:
+                for key in store.keys():
+                    shape = store.shape(key)
+                    got = store.get(key)
+                    assert got.shape == shape
+            except (PackFormatError, KeyError):
+                pass  # e.g. a flipped key byte renames an entry
+            finally:
+                if use_native:
+                    store.close()
 
 
 def test_gather_batch_rejects_heterogeneous_d_model(tmp_path, rng,
