@@ -1,5 +1,9 @@
-"""Multi-chip dry run: jit the FULL training step over an n-device mesh with
-real dp x tp shardings and execute one step on tiny shapes.
+"""Multi-chip dry run: jit the FULL multi-chip surface over an n-device mesh
+with real dp x tp shardings and execute it on tiny shapes — the training
+step (fwd + bwd + two-group Adagrad), the sharded batched EVAL path
+(PartScorer.score_videos through VideoScorer._dispatch's mesh branch, i.e.
+the semantics of Test/evaluation_shanghaitech_ubnormal.py:70-95 under
+GSPMD), and a pseudo-label generation pass (the co-teaching hand-off).
 
 Used by __graft_entry__.dryrun_multichip (driver validation on a virtual CPU
 mesh) and by tests/test_parallel.py.  The model is dimensionally small but
@@ -38,9 +42,12 @@ def tiny_ltn_config(n_head: int = 8, batch_size: int = 8) -> TrainConfig:
 
 
 def run_multichip_step(n_devices: int, devices=None,
-                       batch_size: int | None = None) -> dict:
+                       batch_size: int | None = None,
+                       return_state: bool = False):
     """Build an (data x model) mesh over ``n_devices``, shard state + batch,
-    run ONE full LTN train step (fwd+bwd+Adagrad).  Returns the metrics."""
+    run ONE full LTN train step (fwd+bwd+Adagrad).  Returns the metrics
+    (plus (state, encoder, head, mesh, cfg) when ``return_state`` — the
+    sharded artifacts the eval/pseudo surface below continues from)."""
     data_ax, model_ax = factor_devices(n_devices)
     mesh = make_mesh(data_ax, model_ax, devices=devices)
     # one normal+abnormal pair per data-parallel shard
@@ -68,4 +75,68 @@ def run_multichip_step(n_devices: int, devices=None,
     jax.block_until_ready(metrics)
     out = {k: float(v) for k, v in metrics.items()}
     assert np.isfinite(out["loss"]), out
+    if return_state:
+        return out, (state, encoder, head, mesh, cfg)
     return out
+
+
+class _ArrayStore:
+    """Minimal in-memory FeatureStore for the pseudo-gen dry run."""
+
+    def __init__(self, feats: dict):
+        self._feats = feats
+
+    def get(self, key):
+        return self._feats[key]
+
+    def n_clips(self, key):
+        return len(self._feats[key])
+
+
+def run_multichip_surface(n_devices: int, devices=None) -> dict:
+    """The FULL multi-chip surface on one mesh: train step, then the sharded
+    batched eval path (PartScorer.score_videos -> frame AUC, the semantics
+    of Test/evaluation_shanghaitech_ubnormal.py:70-95 under GSPMD — tp-
+    sharded params, dp-sharded part batches), then an LTN pseudo-label
+    generation pass (tail fed short, the co-teaching hand-off).  Returns
+    {'loss', 'eval_auc', 'n_pseudo_videos'}; asserts everything finite."""
+    from ..data.annotations import TrainRecord
+    from ..evaluation.drivers import evaluate_ltn
+    from ..evaluation.scoring import PartScorer
+    from ..pseudo.generator import generate_ltn_pseudo_labels
+
+    metrics, (state, encoder, head, mesh, cfg) = run_multichip_step(
+        n_devices, devices=devices, return_state=True)
+    d = cfg.data
+    bshard = batch_sharding(mesh)
+    rng = np.random.default_rng(1)
+
+    # eval: ragged synthetic videos (tail re-window + short-video edges all
+    # exercised) scored through the mesh-sharded dispatch
+    scorer = PartScorer(encoder, head, d.part_len, d.n_patch, sharding=bshard)
+    items = []
+    for n_clips in (2 * d.part_len + 1, 5 * d.part_len, d.part_len - 1):
+        feats = rng.standard_normal(
+            (n_clips, d.n_patch, cfg.encoder.d_model)).astype(np.float32)
+        anno = (rng.random(n_clips * 16) < 0.5).astype(np.float64)
+        items.append((feats, anno))
+    auc = evaluate_ltn(state.params, scorer, items)
+    assert np.isfinite(auc), auc
+
+    # pseudo generation: the no-re-window scorer over a tiny store
+    gen_scorer = PartScorer(encoder, head, d.part_len, d.n_patch,
+                            tail_rewindow=False, sharding=bshard)
+    store = _ArrayStore({
+        f"v{i}": rng.standard_normal(
+            (n, d.n_patch, cfg.encoder.d_model)).astype(np.float32)
+        for i, n in enumerate((2 * d.part_len, 3 * d.part_len + 2))})
+    records = [TrainRecord("v0", False), TrainRecord("v1", True)]
+    pseudo = generate_ltn_pseudo_labels(state.params, gen_scorer, store,
+                                        records, threshold=0.4)
+    assert set(pseudo) == {"v0.npy", "v1.npy"}
+    for key, scores in pseudo.items():
+        assert len(scores) == store.n_clips(key[:-4]), (key, len(scores))
+        assert np.all(np.isfinite(scores)), key
+
+    return {"loss": metrics["loss"], "eval_auc": float(auc),
+            "n_pseudo_videos": len(pseudo)}

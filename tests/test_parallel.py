@@ -46,6 +46,46 @@ def test_multichip_step_runs(n_devices):
     assert np.isfinite(metrics["ce"])
 
 
+def test_multichip_full_surface():
+    """Train step + sharded batched eval (finite frame AUC) + pseudo-gen on
+    one (2, 4) mesh — the surface a real multi-chip run hits (the 4x4
+    16-device factorization runs in test_graft_entry's fresh-process dryrun,
+    which provisions 16 virtual devices)."""
+    from lstc_vad_tpu.parallel.dryrun import run_multichip_surface
+
+    out = run_multichip_surface(8)
+    assert np.isfinite(out["loss"])
+    assert 0.0 <= out["eval_auc"] <= 1.0
+    assert out["n_pseudo_videos"] == 2
+
+
+def test_multichip_eval_matches_unsharded():
+    """The mesh-sharded eval dispatch is numerically the plain path: same
+    params, same videos -> same frame AUC (GSPMD only changes layout)."""
+    from lstc_vad_tpu.evaluation.drivers import evaluate_ltn
+    from lstc_vad_tpu.evaluation.scoring import PartScorer
+    from lstc_vad_tpu.parallel.dryrun import run_multichip_step
+    from lstc_vad_tpu.parallel.mesh import batch_sharding, make_mesh
+
+    _, (state, encoder, head, mesh, cfg) = run_multichip_step(
+        8, return_state=True)
+    d = cfg.data
+    rng = np.random.default_rng(3)
+    items = []
+    for n_clips in (7, 12):
+        feats = rng.standard_normal(
+            (n_clips, d.n_patch, cfg.encoder.d_model)).astype(np.float32)
+        anno = (rng.random(n_clips * 16) < 0.5).astype(np.float64)
+        items.append((feats, anno))
+    params = jax.tree.map(np.asarray, state.params)  # gather to host
+    sharded = PartScorer(encoder, head, d.part_len, d.n_patch,
+                         sharding=batch_sharding(make_mesh(2, 4)))
+    plain = PartScorer(encoder, head, d.part_len, d.n_patch)
+    auc_sharded = evaluate_ltn(state.params, sharded, items)
+    auc_plain = evaluate_ltn(params, plain, items)
+    assert auc_sharded == pytest.approx(auc_plain, abs=1e-6)
+
+
 def test_multichip_matches_single_device():
     m8 = run_multichip_step(8, batch_size=4)   # (2, 4) mesh
     m1 = run_multichip_step(1, batch_size=4)
