@@ -118,13 +118,20 @@ def ucf_part_plan(max_clips: int, part_len: int) -> List[Tuple[int, int]]:
     """Bin-space part ranges with the overlap tail trick: a short last part
     re-reads the final part_len bins AND expands over the re-read range
     (Test/evaluation_UCF.py:58-65 — note beg is reassigned, so both features
-    and frame expansion use [end-part_len, end))."""
+    and frame expansion use [end-part_len, end)).
+
+    ``beg`` clamps at 0 when there are fewer bins than part_len: that region
+    is unreachable in the reference (its re-window path hardcodes 32 bins
+    and part_len 2, so end-part_len >= 0 always); an unclamped negative beg
+    would wrap the numpy bin-edge indexing.  The clamp scores all available
+    bins at their true length — the same degenerate-video semantics as the
+    SHT tail (part_slices)."""
     parts = []
     for i in range(n_parts(max_clips, part_len)):
         beg = i * part_len
         end = max_clips if i == n_parts(max_clips, part_len) - 1 else (i + 1) * part_len
         if end - beg < part_len:
-            beg = end - part_len
+            beg = max(end - part_len, 0)
         parts.append((beg, end))
     return parts
 
