@@ -137,7 +137,11 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
 
     If ``path`` itself is absent (a crash landed between an async commit and
     its promotion), the uncommitted ``<path>.next`` and the parked
-    ``<path>.old`` are tried in that order."""
+    ``<path>.old`` are tried in that order — with a warning naming the
+    directory actually restored, so a crash-recovery resume never silently
+    continues from an older or differently-stepped checkpoint."""
+    import logging
+
     path = os.path.abspath(path)
     ckptr = ocp.StandardCheckpointer()
     candidates = [p for p in (path, path + ".next", path + ".old")
@@ -145,7 +149,13 @@ def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:
     err = None
     for p in candidates:
         try:
-            return ckptr.restore(p, target)
+            restored = ckptr.restore(p, target)
         except Exception as e:  # partial write: fall through to the next
             err = err or e
+            continue
+        if p != path:
+            logging.getLogger("lstc_vad_tpu").warning(
+                "checkpoint %s missing or unreadable; restored fallback %s "
+                "(its step may differ from the last save)", path, p)
+        return restored
     raise err

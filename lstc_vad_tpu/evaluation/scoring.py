@@ -50,30 +50,56 @@ def _read_ahead(feats_list, depth: int = 1):
     otherwise).  Worst-case liveness is current + depth + 1 arrays (the
     consumer's, the queue's, and the worker's in-flight read blocked on the
     full queue) — the streaming guarantee (tests/test_streaming.py pins 3 at
-    depth=1) is preserved.  Loader exceptions re-raise in the consumer."""
+    depth=1) is preserved.  Loader exceptions re-raise in the consumer.
+
+    If the consumer abandons the generator (a scoring exception mid
+    score_videos, or an early close), the finally block signals the worker
+    and drains the queue: the thread exits within its put-poll interval and
+    every parked array is released — nothing stays pinned for the process
+    lifetime."""
     import queue
     import threading
 
     q: "queue.Queue" = queue.Queue(maxsize=depth)
     done = object()
+    stop = threading.Event()
+
+    def put(item) -> bool:
+        """Bounded put that gives up once the consumer signalled stop."""
+        while not stop.is_set():
+            try:
+                q.put(item, timeout=0.05)
+                return True
+            except queue.Full:
+                continue
+        return False
 
     def worker():
         try:
             for f in feats_list:
-                q.put((None, _resolve(f)))
+                if not put((None, _resolve(f))):
+                    return
         except BaseException as e:  # surface in the consuming thread
-            q.put((e, None))
+            put((e, None))
             return
-        q.put((None, done))
+        put((None, done))
 
     threading.Thread(target=worker, daemon=True).start()
-    while True:
-        err, item = q.get()
-        if err is not None:
-            raise err
-        if item is done:
-            return
-        yield item
+    try:
+        while True:
+            err, item = q.get()
+            if err is not None:
+                raise err
+            if item is done:
+                return
+            yield item
+    finally:
+        stop.set()
+        while True:  # release anything still parked in the queue
+            try:
+                q.get_nowait()
+            except queue.Empty:
+                break
 
 
 def _scorer_apply(encoder, head, kind, l2, params, x):

@@ -83,10 +83,14 @@ def test_async_autosave_restores_exactly(tmp_path):
         np.testing.assert_array_equal(np.asarray(a), np.asarray(b))
 
 
-def test_load_checkpoint_falls_back_to_next_and_old(tmp_path):
+def test_load_checkpoint_falls_back_to_next_and_old(tmp_path, caplog):
     """A crash between an async commit and its promotion leaves the new
     checkpoint at <path>.next (or the previous one parked at <path>.old);
-    load_checkpoint restores from either when the final path is absent."""
+    load_checkpoint restores from either when the final path is absent —
+    and WARNS naming the directory actually used, so the operator knows the
+    resume may not be the last save."""
+    import logging
+
     from lstc_vad_tpu.ckpt import load_checkpoint, save_checkpoint
 
     tree = {"a": np.arange(6, dtype=np.float32),
@@ -95,17 +99,25 @@ def test_load_checkpoint_falls_back_to_next_and_old(tmp_path):
     p = str(tmp_path / "ck")
 
     save_checkpoint(p + ".next", tree)  # crash before the promote rename
-    out = load_checkpoint(p, target)
+    with caplog.at_level(logging.WARNING, logger="lstc_vad_tpu"):
+        out = load_checkpoint(p, target)
     np.testing.assert_array_equal(out["a"], tree["a"])
+    assert any(p + ".next" in r.getMessage() for r in caplog.records)
 
     import os
     os.replace(p + ".next", p + ".old")  # crash after parking the old one
-    out = load_checkpoint(p, target)
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="lstc_vad_tpu"):
+        out = load_checkpoint(p, target)
     np.testing.assert_array_equal(out["b"], tree["b"])
+    assert any(p + ".old" in r.getMessage() for r in caplog.records)
 
     save_checkpoint(p, {"a": tree["a"] + 1, "b": tree["b"]})
-    out = load_checkpoint(p, target)  # committed path wins over .old
+    caplog.clear()
+    with caplog.at_level(logging.WARNING, logger="lstc_vad_tpu"):
+        out = load_checkpoint(p, target)  # committed path wins over .old
     np.testing.assert_array_equal(out["a"], tree["a"] + 1)
+    assert not caplog.records  # the primary path restores silently
 
 
 def test_promote_keeps_one_valid_checkpoint(tmp_path):

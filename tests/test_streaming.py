@@ -247,3 +247,41 @@ def test_read_ahead_bounds_live_arrays():
         del feats
     assert store.reads == 20
     assert store.max_live <= 3
+
+
+def test_read_ahead_releases_on_abandoned_consumer():
+    """An abandoned generator (scoring exception mid score_videos, early
+    close) must stop the reader thread and free every parked array — the
+    worker previously blocked forever on a full queue, pinning depth+1
+    resolved feature arrays for the process lifetime."""
+    import gc
+    import threading
+    import time
+
+    from lstc_vad_tpu.evaluation.scoring import _read_ahead
+
+    before = set(threading.enumerate())
+    resolved = []
+
+    def loader(i):
+        def f():
+            a = np.full((1000, 4, 4), float(i), np.float32)
+            resolved.append(weakref.ref(a))
+            return a
+        return f
+
+    gen = _read_ahead([loader(i) for i in range(10)], depth=1)
+    first = next(gen)
+    gen.close()  # consumer abandons: stop is signalled, queue drained
+    del first
+
+    deadline = time.time() + 5.0
+    while set(threading.enumerate()) - before and time.time() < deadline:
+        time.sleep(0.05)
+    assert not (set(threading.enumerate()) - before), \
+        "reader thread still alive after consumer abandoned"
+    gc.collect()
+    alive = sum(1 for r in resolved if r() is not None)
+    assert alive == 0, f"{alive} resolved arrays still pinned"
+    # the worker never raced far past the abandoned consumer
+    assert len(resolved) <= 4, resolved
