@@ -152,14 +152,19 @@ class StreamingScorer:
                     (sid, np.concatenate(buf[n_full:], axis=0)))
 
         def score_groups(entries, tok_len):
+            # dispatch every group before fetching any: jax dispatch is
+            # asynchronous, so group N+1's H2D overlaps group N's compute
+            # (the same double-buffering the offline _Pipeline does)
+            dispatched = []
             for start in range(0, len(entries), self.max_streams):
                 group = entries[start:start + self.max_streams]
                 tokens = np.zeros((self.max_streams, tok_len, self.d_model),
                                   self._wire_dtype)
                 for i, (_, tok) in enumerate(group):
                     tokens[i] = tok
-                scores = np.asarray(
-                    self._apply(self.params, tokens))[:len(group)]
+                dispatched.append((group, self._apply(self.params, tokens)))
+            for group, device_scores in dispatched:
+                scores = np.asarray(device_scores)[:len(group)]
                 for (sid, _), s in zip(group, scores):
                     out[sid].append(float(s))
 
@@ -176,9 +181,10 @@ class StreamingScorer:
 
     def flush(self) -> List[Tuple[str, float]]:
         """Score every stream holding >= part_len clips; one device call per
-        max_streams group.  Returns [(stream_id, score)] in scoring order."""
+        max_streams group, all groups dispatched before any fetch (transfer
+        overlaps compute).  Returns [(stream_id, score)] in scoring order."""
         ready = self.ready()
-        results: List[Tuple[str, float]] = []
+        dispatched = []
         for start in range(0, len(ready), self.max_streams):
             group = ready[start:start + self.max_streams]
             tokens = np.zeros((len(group), self.part_len * self.n_patch,
@@ -192,6 +198,9 @@ class StreamingScorer:
                 tokens = np.concatenate(
                     [tokens, np.zeros((pad,) + tokens.shape[1:],
                                       self._wire_dtype)])
-            scores = np.asarray(self._apply(self.params, tokens))[:len(group)]
+            dispatched.append((group, self._apply(self.params, tokens)))
+        results: List[Tuple[str, float]] = []
+        for group, device_scores in dispatched:
+            scores = np.asarray(device_scores)[:len(group)]
             results.extend(zip(group, scores.tolist()))
         return results
