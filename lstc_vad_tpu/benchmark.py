@@ -47,10 +47,22 @@ runs, not extrapolated from the flagship shape):
 - ``train_snippets_per_sec``: the full jitted SHT LTN train step (fwd + bwd
   + two-group Adagrad, donated state, device-resident preset-sized batch) —
   the device program of Train/temporal_transformer_shanghaitech.py:99-142.
+  HEADLINE stays the f32-compute step (the preset default): the round-4
+  paired-seed quality study (docs/ARCHITECTURE.md, docs/BF16_STUDY.jsonl)
+  measured bf16 TRAIN compute converging ~0.03 AUC BELOW f32 on every seed
+  at matched epochs, so the +8.6%-throughput bf16 step is reported as the
+  ``train_bf16_*`` alternate, not the default.
+- ``hostfed_h2d_gbps`` / ``h2d_raw_gbps``: achieved wire rate of the
+  host-fed sweep vs the raw device_put ceiling of this link — the pair that
+  makes the host-fed absolute number interpretable (saturated link vs
+  pipeline stall).
+- ``serving_parts_per_sec`` / ``serving_flush_p50_ms`` / ``_p99_ms``:
+  online StreamingScorer at 16 concurrent flagship-LTN streams, one part
+  per stream per flush.
 - ``eval_tflops`` / ``train_tflops`` / ``stn_eval_tflops`` /
   ``ubnormal_eval_tflops``: FLOP-derived rates from the analytic matmul
   count (backward ~= 2x forward); ``eval_mfu`` / ``train_mfu`` are vs the
-  v5e nominal bf16 peak of 197 TFLOP/s (approximate: the model runs
+  v5e nominal bf16 peak of 197 TFLOP/s (approximate: the f32 paths run
   f32-accumulate, and tunnel timing has ~ms jitter).
 """
 
@@ -268,7 +280,12 @@ def _hostfed_eval(rng):
     decomposition + double-buffered async dispatch) — the H2D-inclusive
     number the device-resident flagship sweep cannot show.  On
     remote-attached chips this is transfer-bound; the pipelining recovers
-    ~1.67x vs synchronous dispatch (docs/ARCHITECTURE.md)."""
+    ~1.67x vs synchronous dispatch (docs/ARCHITECTURE.md).
+
+    Returns (snippets_per_sec, achieved_h2d_gbps): the achieved wire rate
+    makes the absolute number interpretable — compare against the raw
+    device_put ceiling (_h2d_probe) to tell 'saturated link' from
+    'pipeline stall'."""
     from lstc_vad_tpu.config import preset
     from lstc_vad_tpu.evaluation.scoring import PartScorer
 
@@ -287,20 +304,92 @@ def _hostfed_eval(rng):
     for _ in range(sweeps):
         scorer.score_videos(params, feats)
     dt = (time.perf_counter() - t0) / sweeps
-    return 2 * 1536 / dt
+    wire_bytes = sum(f.nbytes for f in feats)  # all clips ship exactly once
+    return 2 * 1536 / dt, wire_bytes / dt / 1e9
 
 
-def _train_step(rng):
+def _h2d_probe():
+    """Raw host->device ceiling of this link: device_put of one 256 MB
+    array, best of 3 (the number every host-fed figure divides against).
+
+    Each timing ends with a host fetch of a scalar reduction: on
+    remote-attached (tunneled) chips ``block_until_ready`` alone can return
+    before the wire transfer completes — measured 1.58 GB/s phantom vs the
+    0.13 GB/s a fetch-confirmed timing shows on this box.  The 4-byte
+    fetch adds one round trip (~ms), negligible vs the ~2 s transfer."""
+    import jax
+    import jax.numpy as jnp
+
+    x = np.ones((64, 1024, 1024), np.float32)  # 256 MB
+    float(jnp.sum(jax.device_put(x)))  # warm the transfer + reduce programs
+    best = float("inf")
+    for _ in range(3):
+        t0 = time.perf_counter()
+        float(jnp.sum(jax.device_put(x)))  # fetch proves arrival
+        best = min(best, time.perf_counter() - t0)
+    return x.nbytes / best / 1e9
+
+
+def _serving_probe(rng, n_streams: int = 16, n_flushes: int = 100):
+    """Online serving (StreamingScorer) at flagship LTN dims: ``n_streams``
+    concurrent streams each push one part per round, then one flush scores
+    the round in a single device call.  Returns (parts_per_sec, p50_ms,
+    p99_ms) of the flush latency — the online path the reference lacks
+    (PARITY.md 'beyond-reference')."""
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.serving import StreamingScorer
+
+    cfg = preset("sht_ltn")
+    d = cfg.encoder.d_model
+    part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
+    _, _, params, _ = _build_apply(cfg)
+    from lstc_vad_tpu.models import Encoder, make_head
+
+    scorer = StreamingScorer(Encoder(cfg.encoder),
+                             make_head(cfg.head.kind, cfg.head.d_model),
+                             params, part_len, n_patch, d,
+                             max_streams=n_streams)
+    clip = rng.standard_normal((n_patch, d)).astype(np.float32)
+
+    def push_round():
+        for s in range(n_streams):
+            for _ in range(part_len):
+                scorer.push(f"s{s}", clip)
+
+    push_round()
+    scorer.flush()  # compile
+    lat = []
+    t_all = time.perf_counter()
+    for _ in range(n_flushes):
+        push_round()
+        t0 = time.perf_counter()
+        got = scorer.flush()
+        lat.append(time.perf_counter() - t0)
+        assert len(got) == n_streams
+    total = time.perf_counter() - t_all
+    lat_ms = np.sort(np.array(lat) * 1e3)
+    return (n_streams * n_flushes / total,
+            float(lat_ms[len(lat_ms) // 2]),
+            float(lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]))
+
+
+def _train_step(rng, compute_dtype: str = "float32"):
     """SHT LTN train step: fwd + bwd + two-group Adagrad, donated state
     (the device program of Train/temporal_transformer_shanghaitech.py:99-142).
-    Returns (snippets_per_sec, tflops)."""
+    Returns (snippets_per_sec, tflops).
+
+    ``compute_dtype='bfloat16'`` measures the throughput alternate: matmuls/
+    activations in bf16 (params, LN, softmax stay f32).  The round-4
+    paired-seed study (docs/ARCHITECTURE.md) found it converges ~0.03 AUC
+    below f32 on every seed, so it is NOT the default — reported so the
+    tradeoff stays measured."""
     import jax
 
     from lstc_vad_tpu.config import preset
     from lstc_vad_tpu.train.state import create_train_state
     from lstc_vad_tpu.train.steps import make_ltn_train_step
 
-    cfg = preset("sht_ltn")
+    cfg = preset("sht_ltn", **{"encoder.compute_dtype": compute_dtype})
     d = cfg.encoder.d_model
     part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
     state, t_encoder, t_head, tx = create_train_state(cfg)
@@ -334,18 +423,30 @@ def _run():
     stn_rate, stn_tflops = _stn_eval(rng)
     ub_rate, ub_tflops = _ubnormal_eval(rng)
     ucf_rate = _ucf_eval(rng)
-    hostfed_rate = _hostfed_eval(rng)
-    # train phase last: each phase's staging is freed on helper return, so
+    hostfed_rate, hostfed_gbps = _hostfed_eval(rng)
+    h2d_raw_gbps = _h2d_probe()
+    serving_rate, serving_p50, serving_p99 = _serving_probe(rng)
+    # train phases last: each phase's staging is freed on helper return, so
     # the backward's activation temps (~8 GB at bs=40 f32) never share HBM
-    # with an eval sweep's parts on the 15.75 GB chip
-    train_rate, train_tflops = _train_step(rng)
+    # with an eval sweep's parts on the 15.75 GB chip.
+    # HEADLINE train = f32 compute (the preset default): the paired-seed
+    # quality study (docs/ARCHITECTURE.md) measured bf16 train compute
+    # converging ~0.03 AUC below f32 on every seed, so the faster bf16
+    # step is the reported-alongside alternate, not the default.
+    train_rate, train_tflops = _train_step(rng, "float32")
+    train_bf16_rate, train_bf16_tflops = _train_step(rng, "bfloat16")
 
     print(f"sht_ltn eval: {eval_rate:.0f} snippets/s ({eval_tflops:.1f} "
           f"TFLOP/s) | stn: {stn_rate:.0f} ({stn_tflops:.1f}) | "
           f"ubnormal: {ub_rate:.0f} ({ub_tflops:.1f}) | "
           f"ucf end-to-end: {ucf_rate:.0f} | "
-          f"host-fed: {hostfed_rate:.0f} | "
-          f"train: {train_rate:.0f} ({train_tflops:.1f})", file=sys.stderr)
+          f"host-fed: {hostfed_rate:.0f} ({hostfed_gbps:.2f} GB/s of "
+          f"{h2d_raw_gbps:.2f} raw) | "
+          f"serving: {serving_rate:.0f} parts/s "
+          f"(p50 {serving_p50:.1f} ms) | "
+          f"train f32: {train_rate:.0f} ({train_tflops:.1f}) | "
+          f"train bf16 alt: {train_bf16_rate:.0f} ({train_bf16_tflops:.1f})",
+          file=sys.stderr)
     print(json.dumps({
         "metric": "sht_ltn_eval_snippets_per_sec",
         "value": round(eval_rate, 1),
@@ -356,12 +457,21 @@ def _run():
         "train_tflops": round(train_tflops, 1),
         "eval_mfu": round(eval_tflops / V5E_PEAK_TFLOPS, 3),
         "train_mfu": round(train_tflops / V5E_PEAK_TFLOPS, 3),
+        "train_compute_dtype": "float32",
+        "train_bf16_snippets_per_sec": round(train_bf16_rate, 1),
+        "train_bf16_tflops": round(train_bf16_tflops, 1),
+        "train_bf16_mfu": round(train_bf16_tflops / V5E_PEAK_TFLOPS, 3),
         "stn_eval_snippets_per_sec": round(stn_rate, 1),
         "stn_eval_tflops": round(stn_tflops, 1),
         "ubnormal_eval_snippets_per_sec": round(ub_rate, 1),
         "ubnormal_eval_tflops": round(ub_tflops, 1),
         "ucf_eval_snippets_per_sec": round(ucf_rate, 1),
         "hostfed_eval_snippets_per_sec": round(hostfed_rate, 1),
+        "hostfed_h2d_gbps": round(hostfed_gbps, 3),
+        "h2d_raw_gbps": round(h2d_raw_gbps, 3),
+        "serving_parts_per_sec": round(serving_rate, 1),
+        "serving_flush_p50_ms": round(serving_p50, 2),
+        "serving_flush_p99_ms": round(serving_p99, 2),
     }))
 
 
