@@ -308,19 +308,25 @@ def _hostfed_eval(rng):
     return 2 * 1536 / dt, wire_bytes / dt / 1e9
 
 
-def _h2d_probe():
+def _h2d_probe(rng):
     """Raw host->device ceiling of this link: device_put of one 256 MB
-    array, best of 3 (the number every host-fed figure divides against).
+    INCOMPRESSIBLE array, best of 3 (the number every host-fed figure
+    divides against).
 
-    Each timing ends with a host fetch of a scalar reduction: on
-    remote-attached (tunneled) chips ``block_until_ready`` alone can return
-    before the wire transfer completes — measured 1.58 GB/s phantom vs the
-    0.13 GB/s a fetch-confirmed timing shows on this box.  The 4-byte
-    fetch adds one round trip (~ms), negligible vs the ~2 s transfer."""
+    Two measurement traps, both hit and fixed on this box:
+    - ``block_until_ready`` alone can return before a tunneled wire
+      transfer completes — measured 1.58 GB/s phantom; every timing here
+      ends with a host fetch of a scalar reduction (the 4-byte fetch adds
+      one round trip, ~ms, negligible vs the ~5 s transfer).
+    - the tunnel compresses the wire: ``np.ones`` ships at 0.105-0.136
+      GB/s vs 0.054 GB/s for random data (measured back to back).  Feature
+      tensors are incompressible, so the ceiling MUST be probed with
+      random data or the host-fed fraction reads as a phantom pipeline
+      stall (0.024/0.136 = 18% vs the true ~80%-of-link)."""
     import jax
     import jax.numpy as jnp
 
-    x = np.ones((64, 1024, 1024), np.float32)  # 256 MB
+    x = rng.standard_normal((64, 1024, 1024)).astype(np.float32)  # 256 MB
     float(jnp.sum(jax.device_put(x)))  # warm the transfer + reduce programs
     best = float("inf")
     for _ in range(3):
@@ -424,7 +430,7 @@ def _run():
     ub_rate, ub_tflops = _ubnormal_eval(rng)
     ucf_rate = _ucf_eval(rng)
     hostfed_rate, hostfed_gbps = _hostfed_eval(rng)
-    h2d_raw_gbps = _h2d_probe()
+    h2d_raw_gbps = _h2d_probe(rng)
     serving_rate, serving_p50, serving_p99 = _serving_probe(rng)
     # train phases last: each phase's staging is freed on helper return, so
     # the backward's activation temps (~8 GB at bs=40 f32) never share HBM
