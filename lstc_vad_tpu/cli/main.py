@@ -876,6 +876,60 @@ def cmd_export_aot(args):
     return 0
 
 
+def cmd_serve(args):
+    """Online scoring server over stdin/stdout: JSONL requests in, JSONL
+    scores out (serving.serve_jsonl documents the protocol).  Backed by a
+    live checkpoint (same loading flags as evaluate) or an AOT artifact —
+    the artifact path needs no flax/model code in the serving process.
+    Scores follow the offline part semantics exactly (PARITY.md
+    'beyond-reference': online == offline parity is tested)."""
+    import types
+
+    from ..serving import StreamingScorer, serve_jsonl
+
+    cfg = _apply_common(preset(args.preset), args)
+    if args.max_streams < 1:
+        raise SystemExit(f"--max-streams must be >= 1, got {args.max_streams}")
+    # STN presets score single clips (part_len=1 + regressor); LTN scores
+    # part_len-clip parts with the classifier's abnormal-class probability
+    part_len = 1 if cfg.model.startswith("stn") else cfg.data.part_len
+    if args.artifact:
+        if args.torch_ckpt or args.ckpt or args.encoder_ckpt \
+                or args.head_ckpt:
+            raise SystemExit("--artifact already contains the params — drop "
+                             "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
+        scorer = StreamingScorer.from_artifact(args.artifact,
+                                               max_streams=args.max_streams,
+                                               part_len=part_len)
+    else:
+        from ..train.state import create_train_state
+
+        state, encoder, head, _tx = create_train_state(cfg)
+        if not (args.ckpt or args.encoder_ckpt or args.head_ckpt):
+            print("[serve] no --ckpt/--artifact: serving fresh random-init "
+                  "params (smoke-test mode)", file=sys.stderr)
+        holder = types.SimpleNamespace(state=state)
+        holder = _load_params(args, holder)
+        ec = cfg.encoder
+        if ec.compute_dtype != "float32" or ec.remat:
+            # serving compute stays f32 like every eval path (the train
+            # bf16/remat knobs must not move served scores)
+            from ..models import Encoder
+
+            encoder = Encoder(dataclasses.replace(
+                ec, compute_dtype="float32", remat=False))
+        scorer = StreamingScorer(
+            encoder, head, holder.state.params, part_len, cfg.data.n_patch,
+            cfg.encoder.d_model, max_streams=args.max_streams,
+            head_kind=cfg.head.kind,
+            transfer_dtype=cfg.data.eval_transfer_dtype)
+    n_push, n_scores = serve_jsonl(scorer, sys.stdin, sys.stdout,
+                                   flush_every=args.flush_every)
+    print(f"[serve] {n_push} clips in, {n_scores} scores out",
+          file=sys.stderr)
+    return 0
+
+
 def main(argv=None):
     _maybe_force_platform()
     _maybe_enable_compile_cache()
@@ -1015,6 +1069,28 @@ def main(argv=None):
     p.add_argument("--platforms", default="tpu,cpu",
                    help="comma-separated lowering platforms")
     p.set_defaults(fn=cmd_export_aot)
+
+    p = sub.add_parser("serve",
+                       help="online scoring server: JSONL requests on stdin "
+                            "(push/flush/end), JSONL scores on stdout")
+    _add_common(p)
+    p.add_argument("--ckpt", help="Orbax params directory (encoder+head)")
+    p.add_argument("--encoder-ckpt", dest="encoder_ckpt")
+    p.add_argument("--head-ckpt", dest="head_ckpt")
+    p.add_argument("--torch-ckpt", dest="torch_ckpt", action="store_true",
+                   help="checkpoints are torch state_dicts")
+    p.add_argument("--artifact",
+                   help="AOT artifact directory (export-aot, no --l2): "
+                        "serve through the serialized programs — flax/model "
+                        "code not needed")
+    p.add_argument("--max-streams", dest="max_streams", type=int, default=64,
+                   help="streams scored per device call (the compiled batch "
+                        "shape)")
+    p.add_argument("--flush-every", dest="flush_every", type=int, default=0,
+                   metavar="K",
+                   help="also flush after every K pushes (default: only on "
+                        "explicit {\"op\": \"flush\"} requests)")
+    p.set_defaults(fn=cmd_serve)
 
     p = sub.add_parser("info", help="print versions, devices, HBM usage, "
                                     "auto-mesh factorization and env knobs")

@@ -17,6 +17,8 @@ For the STN (per-clip scoring) use ``part_len=1`` with a regressor head.
 
 from __future__ import annotations
 
+import base64
+import json
 from typing import Dict, List, Optional, Tuple
 
 import jax
@@ -175,6 +177,10 @@ class StreamingScorer:
             score_groups(entries, tail_len * self.n_patch)
         return out
 
+    def streams(self) -> List[str]:
+        """Every stream currently holding buffered clips (push order)."""
+        return list(self._buffers)
+
     def ready(self) -> List[str]:
         return [sid for sid, buf in self._buffers.items()
                 if len(buf) >= self.part_len]
@@ -192,6 +198,10 @@ class StreamingScorer:
             for i, sid in enumerate(group):
                 part = self._buffers[sid][:self.part_len]
                 del self._buffers[sid][:self.part_len]
+                if not self._buffers[sid]:
+                    # drop drained entries: a long-running server cycling
+                    # many stream ids must not accumulate empty buffers
+                    del self._buffers[sid]
                 tokens[i] = np.concatenate(part, axis=0)
             pad = self.max_streams - len(group)
             if pad:
@@ -204,3 +214,103 @@ class StreamingScorer:
             scores = np.asarray(device_scores)[:len(group)]
             results.extend(zip(group, scores.tolist()))
         return results
+
+
+def _decode_feat(feat, n_patch: int, d_model: int) -> np.ndarray:
+    """One clip's features from the wire: a base64 string of raw
+    little-endian f32 bytes (row-major [n_patch, d_model]) or a nested
+    list.  Exact-size checked — a truncated payload is a protocol error,
+    never a silently reshaped array."""
+    if isinstance(feat, str):
+        raw = base64.b64decode(feat, validate=True)
+        expect = n_patch * d_model * 4
+        if len(raw) != expect:
+            raise ValueError(
+                f"feat payload is {len(raw)} bytes, expected {expect} "
+                f"(little-endian f32 [{n_patch}, {d_model}])")
+        return np.frombuffer(raw, dtype="<f4").reshape(n_patch, d_model)
+    arr = np.asarray(feat, dtype=np.float32)
+    if arr.shape != (n_patch, d_model):
+        raise ValueError(f"feat shape {arr.shape} != ({n_patch}, {d_model})")
+    return arr
+
+
+def serve_jsonl(scorer: StreamingScorer, in_stream, out_stream,
+                flush_every: int = 0) -> Tuple[int, int]:
+    """Line-oriented JSON serving loop (CLI ``serve``): one request object
+    per input line, one reply object per output line — the process protocol
+    for running the online scorer behind a socket, a shell pipe, or a
+    sidecar without writing Python.
+
+    Requests:
+      {"op": "push", "stream": ID, "feat": FEAT}   buffer one clip
+      {"op": "flush"}                              score every ready stream
+      {"op": "end",  "stream": ID}                 finish one stream
+      {"op": "end_all"}                            finish every stream
+
+    ``FEAT`` is base64 of raw little-endian f32 bytes ([n_patch, d_model]
+    row-major — the zero-dependency producer format) or a nested list.
+
+    Replies (flushed after every request so a pipe peer can read
+    synchronously):
+      push     -> nothing (or the flush replies, when --flush-every fires)
+      flush    -> {"stream": ID, "score": S} per scored part, then
+                  {"flushed": N}
+      end(s)   -> {"stream": ID, "scores": [...], "ended": true} per stream
+                  (tails scored at true length — the offline no-re-window
+                  semantics, see end_streams)
+      error    -> {"error": "..."} ; the loop continues (a malformed line
+                  must not kill the other streams)
+
+    EOF implicitly ends every remaining stream.  ``flush_every=K`` also
+    flushes after every K pushes (when some stream is ready).  Returns
+    (n_pushes, n_scores)."""
+    n_push = n_scores = 0
+
+    def emit(obj):
+        out_stream.write(json.dumps(obj) + "\n")
+        out_stream.flush()
+
+    def do_flush():
+        nonlocal n_scores
+        results = scorer.flush()
+        for sid, s in results:
+            emit({"stream": sid, "score": s})
+        emit({"flushed": len(results)})
+        n_scores += len(results)
+
+    def do_end(sids):
+        nonlocal n_scores
+        outs = scorer.end_streams(sids)
+        for sid in sids:
+            emit({"stream": sid, "scores": outs[sid], "ended": True})
+            n_scores += len(outs[sid])
+
+    for line in in_stream:
+        line = line.strip()
+        if not line:
+            continue
+        try:
+            msg = json.loads(line)
+            op = msg.get("op")
+            if op == "push":
+                scorer.push(str(msg["stream"]),
+                            _decode_feat(msg["feat"], scorer.n_patch,
+                                         scorer.d_model))
+                n_push += 1
+                if flush_every and n_push % flush_every == 0 \
+                        and scorer.ready():
+                    do_flush()
+            elif op == "flush":
+                do_flush()
+            elif op == "end":
+                do_end([str(msg["stream"])])
+            elif op == "end_all":
+                do_end(scorer.streams())
+            else:
+                raise ValueError(f"unknown op {op!r}")
+        except Exception as e:  # malformed input must not kill the server
+            emit({"error": f"{type(e).__name__}: {e}"})
+    if scorer.streams():
+        do_end(scorer.streams())
+    return n_push, n_scores

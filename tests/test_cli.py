@@ -772,3 +772,64 @@ def test_cli_info(capsys):
     assert "lstc_vad_tpu" in out and "backend" in out
     assert "--mesh auto would build" in out
     assert "presets:" in out
+
+
+def test_cli_serve(tmp_path, capsys, monkeypatch):
+    """serve: JSONL requests on stdin -> JSONL scores on stdout, ckpt-backed
+    scores equal the offline part semantics for the same weights."""
+    import io
+    import json
+
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    state_dir = str(tmp_path / "state")
+    rc = main(["train", "--preset", "sht_ltn", "--epochs", "1",
+               "--save-state", state_dir] + common)
+    assert rc == 0
+
+    rng = np.random.default_rng(3)
+    video = rng.standard_normal((6, 4, 16)).astype(np.float32)
+    # flush scores ONE buffered part per ready stream per call -> two
+    script = [{"op": "push", "stream": "cam", "feat": c.tolist()}
+              for c in video] + [{"op": "flush"}, {"op": "flush"}]
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO("\n".join(map(json.dumps, script)) + "\n"))
+    capsys.readouterr()  # drop the train output
+    rc = main(["serve", "--preset", "sht_ltn", "--ckpt", state_dir,
+               "--max-streams", "2"] + SMALL)
+    assert rc == 0
+    replies = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    scores = [r["score"] for r in replies if "score" in r]
+    assert len(scores) == 2 and replies.count({"flushed": 1}) == 2
+
+    # the same weights through the offline scorer stack
+    from lstc_vad_tpu.cli.main import _apply_common, _load_orbax_params
+    from lstc_vad_tpu.evaluation.scoring import PartScorer
+    from lstc_vad_tpu.models import Encoder, make_head
+    from lstc_vad_tpu.train.state import create_train_state
+
+    class _A:  # the SMALL overrides as an args namespace
+        preset = "sht_ltn"
+        set = [s for i, s in enumerate(SMALL) if SMALL[i - 1] == "--set"]
+    for k in ("h5", "train_txt", "test_txt", "mask_dir", "mask_h5",
+              "pseudo_labels", "batch_size", "seed", "epochs", "save_dir",
+              "log_dir", "metrics_jsonl"):
+        setattr(_A, k, None)
+    from lstc_vad_tpu.config import preset as _preset
+    cfg = _apply_common(_preset("sht_ltn"), _A)
+    state, encoder, head, _ = create_train_state(cfg)
+    params = _load_orbax_params(state_dir, state)
+    offline = PartScorer(encoder, head, cfg.data.part_len, cfg.data.n_patch)
+    expected, _counts = offline.score_video(params, video)
+    np.testing.assert_allclose(scores, expected[:2], atol=1e-5)
+
+
+def test_cli_serve_validation(tmp_path):
+    import pytest
+
+    with pytest.raises(SystemExit, match="--artifact already contains"):
+        main(["serve", "--preset", "sht_ltn", "--artifact",
+              str(tmp_path / "a"), "--ckpt", str(tmp_path / "c")] + SMALL)
+    with pytest.raises(SystemExit, match="--max-streams"):
+        main(["serve", "--preset", "sht_ltn", "--max-streams", "0"] + SMALL)

@@ -204,3 +204,93 @@ def test_streaming_scorer_bf16_wire(model):
     b = bf16.end_stream("s")
     assert len(a) == len(b) == 3  # 2 full parts + 1-clip tail
     np.testing.assert_allclose(a, b, atol=2e-2)
+
+
+def _serve(model, script, flush_every=0, max_streams=4):
+    """Run serve_jsonl over a list of request dicts (or raw lines); returns
+    (replies as parsed dicts, (n_push, n_scores))."""
+    import io
+    import json
+
+    from lstc_vad_tpu.serving import serve_jsonl
+
+    enc, head, params = model
+    scorer = StreamingScorer(enc, head, params, 3, 4, 16,
+                             max_streams=max_streams)
+    lines = [s if isinstance(s, str) else json.dumps(s) for s in script]
+    out = io.StringIO()
+    counts = serve_jsonl(scorer, io.StringIO("\n".join(lines) + "\n"), out,
+                         flush_every=flush_every)
+    return [json.loads(ln) for ln in out.getvalue().splitlines()], counts
+
+
+def test_serve_jsonl_protocol_matches_offline(model, rng):
+    """push (list AND base64 feats) -> flush -> end: scores equal the
+    offline PartScorer part semantics."""
+    import base64
+
+    part_len, n_patch, d = 3, 4, 16
+    video = rng.standard_normal((5, n_patch, d)).astype(np.float32)
+
+    def feat(i):
+        if i % 2:  # alternate both wire encodings
+            return base64.b64encode(
+                video[i].astype("<f4").tobytes()).decode()
+        return video[i].tolist()
+
+    script = ([{"op": "push", "stream": "cam", "feat": feat(i)}
+               for i in range(3)]
+              + [{"op": "flush"}]
+              + [{"op": "push", "stream": "cam", "feat": feat(i)}
+                 for i in range(3, 5)]
+              + [{"op": "end", "stream": "cam"}])
+    replies, (n_push, n_scores) = _serve(model, script)
+    assert (n_push, n_scores) == (5, 2)  # 1 flushed part + 1 ended tail
+
+    enc, head, params = model
+    offline = PartScorer(enc, head, part_len, n_patch)
+    expected, _ = offline.score_video(params, video)
+
+    flush_scores = [r["score"] for r in replies if "score" in r]
+    assert flush_scores == [pytest.approx(float(expected[0]), abs=1e-5)]
+    assert {"flushed": 1} in replies
+    (end,) = [r for r in replies if r.get("ended")]
+    assert end["stream"] == "cam"
+    # end scores the buffered 2-clip tail at true length (no re-window)
+    tail = StreamingScorer(enc, head, params, part_len, n_patch, d)
+    for c in video[3:]:
+        tail.push("cam", c)
+    assert end["scores"] == pytest.approx(tail.end_stream("cam"), abs=1e-6)
+
+
+def test_serve_jsonl_errors_do_not_kill_the_loop(model, rng):
+    v = rng.standard_normal((4, 16)).astype(np.float32)
+    script = ["not json",
+              {"op": "push", "stream": "a", "feat": [[1.0]]},   # bad shape
+              {"op": "push", "stream": "a", "feat": "AAAA"},    # short b64
+              {"op": "nope"},
+              {"op": "push", "stream": "a", "feat": v.tolist()}]
+    replies, (n_push, _) = _serve(model, script)
+    errors = [r["error"] for r in replies if "error" in r]
+    assert len(errors) == 4
+    assert any("feat shape" in e for e in errors)
+    assert any("bytes, expected" in e for e in errors)
+    assert any("unknown op" in e for e in errors)
+    assert n_push == 1  # the good push after the errors still landed
+    # EOF implicitly ends the surviving stream
+    (end,) = [r for r in replies if r.get("ended")]
+    assert end["stream"] == "a" and len(end["scores"]) == 1
+
+
+def test_serve_jsonl_flush_every_and_end_all(model, rng):
+    clips = rng.standard_normal((6, 4, 16)).astype(np.float32)
+    script = [{"op": "push", "stream": f"s{i % 2}", "feat": clips[i].tolist()}
+              for i in range(6)] + [{"op": "end_all"}]
+    replies, (n_push, n_scores) = _serve(model, script, flush_every=3)
+    assert n_push == 6
+    # after the 6th push both streams hold a full 3-clip part -> auto-flush
+    assert {"flushed": 2} in replies
+    # the auto-flush drained both streams AND dropped their buffer entries
+    # (no empty-buffer leak), so end_all has nothing left to finish
+    assert not [r for r in replies if r.get("ended")]
+    assert n_scores == 2
