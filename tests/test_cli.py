@@ -833,3 +833,24 @@ def test_cli_serve_validation(tmp_path):
               str(tmp_path / "a"), "--ckpt", str(tmp_path / "c")] + SMALL)
     with pytest.raises(SystemExit, match="--max-streams"):
         main(["serve", "--preset", "sht_ltn", "--max-streams", "0"] + SMALL)
+
+
+def test_cli_serve_stn_single_clip(capsys, monkeypatch):
+    """STN presets serve single clips (part_len=1, regressor head): each
+    pushed clip scores on the next flush, scores in [0, 1]."""
+    import io
+    import json
+
+    rng = np.random.default_rng(5)
+    clips = rng.standard_normal((3, 4, 16)).astype(np.float32)
+    script = ([{"op": "push", "stream": "cam", "feat": c.tolist()}
+               for c in clips] + [{"op": "flush"}] * 3)
+    monkeypatch.setattr("sys.stdin",
+                        io.StringIO("\n".join(map(json.dumps, script)) + "\n"))
+    rc = main(["serve", "--preset", "sht_stn"] + SMALL)
+    assert rc == 0
+    replies = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
+    scores = [r["score"] for r in replies if "score" in r]
+    # part_len=1: flush 1 drains clip 0, flush 2 clip 1, flush 3 clip 2
+    assert len(scores) == 3
+    assert all(0.0 <= s <= 1.0 for s in scores)  # sigmoid regressor range
