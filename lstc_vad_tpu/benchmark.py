@@ -348,12 +348,8 @@ def _serving_probe(rng, n_streams: int = 16, n_flushes: int = 100):
     cfg = preset("sht_ltn")
     d = cfg.encoder.d_model
     part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
-    _, _, params, _ = _build_apply(cfg)
-    from lstc_vad_tpu.models import Encoder, make_head
-
-    scorer = StreamingScorer(Encoder(cfg.encoder),
-                             make_head(cfg.head.kind, cfg.head.d_model),
-                             params, part_len, n_patch, d,
+    encoder, head, params, _ = _build_apply(cfg)
+    scorer = StreamingScorer(encoder, head, params, part_len, n_patch, d,
                              max_streams=n_streams)
     clip = rng.standard_normal((n_patch, d)).astype(np.float32)
 

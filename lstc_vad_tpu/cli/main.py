@@ -898,9 +898,19 @@ def cmd_serve(args):
                 or args.head_ckpt:
             raise SystemExit("--artifact already contains the params — drop "
                              "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
-        scorer = StreamingScorer.from_artifact(args.artifact,
-                                               max_streams=args.max_streams,
-                                               part_len=part_len)
+        try:
+            # the artifact's OWN baked part_len wins (export-aot records it;
+            # a preset override would recompute n_patch and silently
+            # truncate every pushed clip)
+            scorer = StreamingScorer.from_artifact(
+                args.artifact, max_streams=args.max_streams)
+        except ValueError as e:
+            if "no part_len" not in str(e):
+                raise
+            # pre-part_len-meta artifact: fall back to the preset windowing
+            scorer = StreamingScorer.from_artifact(
+                args.artifact, max_streams=args.max_streams,
+                part_len=part_len)
     else:
         from ..train.state import create_train_state
 

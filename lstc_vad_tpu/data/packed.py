@@ -104,9 +104,15 @@ def _load_lib() -> Optional[ctypes.CDLL]:
     lib = ctypes.CDLL(path)
     lib.ps_open.restype = ctypes.c_void_p
     lib.ps_open.argtypes = [ctypes.c_char_p]
-    lib.ps_open_checked.restype = ctypes.c_void_p
-    lib.ps_open_checked.argtypes = [ctypes.c_char_p,
-                                    ctypes.POINTER(ctypes.c_int32)]
+    try:
+        lib.ps_open_checked.restype = ctypes.c_void_p
+        lib.ps_open_checked.argtypes = [ctypes.c_char_p,
+                                        ctypes.POINTER(ctypes.c_int32)]
+    except AttributeError:
+        # prebuilt .so predating the validated open (binary deployments
+        # keep the shipped lib, see ensure_native): PackedStore falls back
+        # to ps_open — safe because _NumpyPack validates the format first
+        pass
     lib.ps_close.argtypes = [ctypes.c_void_p]
     lib.ps_shape.restype = ctypes.c_int64
     lib.ps_shape.argtypes = [ctypes.c_void_p, ctypes.c_char_p,
@@ -205,16 +211,24 @@ class PackedStore:
         self._np = _NumpyPack(pack_path)  # validates the format up front
         self.native = False
         if self._lib is not None:
-            err = ctypes.c_int32(0)
-            self._handle = self._lib.ps_open_checked(pack_path.encode(),
-                                                     ctypes.byref(err))
-            if not self._handle and err.value != 0:
-                # the validated numpy reader accepted it but the native one
-                # didn't: a reader disagreement must never silently degrade
-                # to the slow path (codes: csrc/packstore.cpp ps_open enum)
-                raise PackFormatError(
-                    f"{pack_path}: native reader rejected the pack "
-                    f"(code {err.value}) that the fallback validated")
+            checked = getattr(self._lib, "ps_open_checked", None)
+            if checked is None:
+                # prebuilt lib without the validated open: _NumpyPack above
+                # already validated the format, so plain ps_open is safe
+                self._handle = self._lib.ps_open(pack_path.encode())
+            else:
+                err = ctypes.c_int32(0)
+                self._handle = checked(pack_path.encode(), ctypes.byref(err))
+                if not self._handle and err.value >= 2:
+                    # FORMAT disagreement (HEADER/INDEX/EXTENT): the numpy
+                    # reader accepted a pack the native walk rejects — must
+                    # never silently degrade to the slow path (codes:
+                    # csrc/packstore.cpp ps_open enum).  PS_ERR_IO (1) is a
+                    # resource failure (fd limit, mmap exhaustion) on a pack
+                    # numpy just validated: degrade to the numpy reader.
+                    raise PackFormatError(
+                        f"{pack_path}: native reader rejected the pack "
+                        f"(code {err.value}) that the fallback validated")
             self.native = bool(self._handle)
 
     # -- FeatureStore interface

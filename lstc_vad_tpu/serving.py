@@ -75,7 +75,17 @@ class StreamingScorer:
                 "artifact was exported with --l2 (UCF final-eval feature "
                 "normalize); streaming serves the plain part semantics — "
                 "export without --l2")
-        part_len = part_len if part_len is not None else meta.get("part_len")
+        meta_pl = meta.get("part_len")
+        if part_len is not None and meta_pl is not None \
+                and int(part_len) != int(meta_pl):
+            # the baked token_len is part_len*n_patch: a different part_len
+            # would silently recompute n_patch and truncate every pushed
+            # clip — reject instead of serving garbage scores
+            raise ValueError(
+                f"artifact was exported with part_len={meta_pl}; the "
+                f"part_len={part_len} override would re-window its baked "
+                f"programs — drop the override or re-export")
+        part_len = meta_pl if meta_pl is not None else part_len
         if part_len is None:
             raise ValueError("artifact meta has no part_len — pass part_len=")
         token_len = meta["token_len"]
@@ -140,11 +150,13 @@ class StreamingScorer:
         out: Dict[str, List[float]] = {}
         full_parts: List[Tuple[str, np.ndarray]] = []
         tails: Dict[int, List[Tuple[str, np.ndarray]]] = {}
+        popped: Dict[str, List[np.ndarray]] = {}
         for sid in stream_ids:
             buf = self._buffers.pop(sid, None)
             out[sid] = []
             if not buf:
                 continue
+            popped[sid] = buf
             n_full = len(buf) - len(buf) % self.part_len
             for start in range(0, n_full, self.part_len):
                 full_parts.append((sid, np.concatenate(
@@ -172,9 +184,15 @@ class StreamingScorer:
 
         # full parts first (per-stream push order is preserved within the
         # ordered full_parts list), then each stream's single tail
-        score_groups(full_parts, self.part_len * self.n_patch)
-        for tail_len, entries in sorted(tails.items()):
-            score_groups(entries, tail_len * self.n_patch)
+        try:
+            score_groups(full_parts, self.part_len * self.n_patch)
+            for tail_len, entries in sorted(tails.items()):
+                score_groups(entries, tail_len * self.n_patch)
+        except Exception:
+            # a device/transfer error must not lose buffered clips: restore
+            # every popped buffer so a retry re-ends the same streams
+            self._buffers.update(popped)
+            raise
         return out
 
     def streams(self) -> List[str]:
@@ -190,29 +208,39 @@ class StreamingScorer:
         max_streams group, all groups dispatched before any fetch (transfer
         overlaps compute).  Returns [(stream_id, score)] in scoring order."""
         ready = self.ready()
-        dispatched = []
-        for start in range(0, len(ready), self.max_streams):
-            group = ready[start:start + self.max_streams]
-            tokens = np.zeros((len(group), self.part_len * self.n_patch,
-                               self.d_model), self._wire_dtype)
-            for i, sid in enumerate(group):
-                part = self._buffers[sid][:self.part_len]
-                del self._buffers[sid][:self.part_len]
-                if not self._buffers[sid]:
-                    # drop drained entries: a long-running server cycling
-                    # many stream ids must not accumulate empty buffers
-                    del self._buffers[sid]
-                tokens[i] = np.concatenate(part, axis=0)
-            pad = self.max_streams - len(group)
-            if pad:
-                tokens = np.concatenate(
-                    [tokens, np.zeros((pad,) + tokens.shape[1:],
-                                      self._wire_dtype)])
-            dispatched.append((group, self._apply(self.params, tokens)))
-        results: List[Tuple[str, float]] = []
-        for group, device_scores in dispatched:
-            scores = np.asarray(device_scores)[:len(group)]
-            results.extend(zip(group, scores.tolist()))
+        taken: Dict[str, List[np.ndarray]] = {}
+        try:
+            dispatched = []
+            for start in range(0, len(ready), self.max_streams):
+                group = ready[start:start + self.max_streams]
+                tokens = np.zeros((len(group), self.part_len * self.n_patch,
+                                   self.d_model), self._wire_dtype)
+                for i, sid in enumerate(group):
+                    part = self._buffers[sid][:self.part_len]
+                    del self._buffers[sid][:self.part_len]
+                    if not self._buffers[sid]:
+                        # drop drained entries: a long-running server cycling
+                        # many stream ids must not accumulate empty buffers
+                        del self._buffers[sid]
+                    taken[sid] = part
+                    tokens[i] = np.concatenate(part, axis=0)
+                pad = self.max_streams - len(group)
+                if pad:
+                    tokens = np.concatenate(
+                        [tokens, np.zeros((pad,) + tokens.shape[1:],
+                                          self._wire_dtype)])
+                dispatched.append((group, self._apply(self.params, tokens)))
+            results: List[Tuple[str, float]] = []
+            for group, device_scores in dispatched:
+                scores = np.asarray(device_scores)[:len(group)]
+                results.extend(zip(group, scores.tolist()))
+        except Exception:
+            # a device/transfer error mid-flush (any group) must not lose
+            # buffered clips: re-prepend every popped part so a retry
+            # rescores the exact same state
+            for sid, part in taken.items():
+                self._buffers.setdefault(sid, [])[:0] = part
+            raise
         return results
 
 
@@ -254,8 +282,9 @@ def serve_jsonl(scorer: StreamingScorer, in_stream, out_stream,
     Replies (flushed after every request so a pipe peer can read
     synchronously):
       push     -> nothing (or the flush replies, when --flush-every fires)
-      flush    -> {"stream": ID, "score": S} per scored part, then
-                  {"flushed": N}
+      flush    -> {"stream": ID, "score": S} per scored part — EVERY
+                  buffered full part (drained until no stream is ready) —
+                  then {"flushed": N}
       end(s)   -> {"stream": ID, "scores": [...], "ended": true} per stream
                   (tails scored at true length — the offline no-re-window
                   semantics, see end_streams)
@@ -272,12 +301,20 @@ def serve_jsonl(scorer: StreamingScorer, in_stream, out_stream,
         out_stream.flush()
 
     def do_flush():
+        # drain EVERY buffered full part (flush() scores one part per ready
+        # stream per call): a server that falls behind the push rate must
+        # catch up in one flush, not leak one retained part per cycle
         nonlocal n_scores
-        results = scorer.flush()
-        for sid, s in results:
-            emit({"stream": sid, "score": s})
-        emit({"flushed": len(results)})
-        n_scores += len(results)
+        total = 0
+        while True:
+            results = scorer.flush()
+            for sid, s in results:
+                emit({"stream": sid, "score": s})
+            total += len(results)
+            if not results or not scorer.ready():
+                break
+        emit({"flushed": total})
+        n_scores += total
 
     def do_end(sids):
         nonlocal n_scores

@@ -790,9 +790,10 @@ def test_cli_serve(tmp_path, capsys, monkeypatch):
 
     rng = np.random.default_rng(3)
     video = rng.standard_normal((6, 4, 16)).astype(np.float32)
-    # flush scores ONE buffered part per ready stream per call -> two
+    # one flush drains BOTH buffered parts (serve_jsonl loops until no
+    # stream is ready)
     script = [{"op": "push", "stream": "cam", "feat": c.tolist()}
-              for c in video] + [{"op": "flush"}, {"op": "flush"}]
+              for c in video] + [{"op": "flush"}]
     monkeypatch.setattr("sys.stdin",
                         io.StringIO("\n".join(map(json.dumps, script)) + "\n"))
     capsys.readouterr()  # drop the train output
@@ -801,7 +802,7 @@ def test_cli_serve(tmp_path, capsys, monkeypatch):
     assert rc == 0
     replies = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     scores = [r["score"] for r in replies if "score" in r]
-    assert len(scores) == 2 and replies.count({"flushed": 1}) == 2
+    assert len(scores) == 2 and {"flushed": 2} in replies
 
     # the same weights through the offline scorer stack
     from lstc_vad_tpu.cli.main import _apply_common, _load_orbax_params

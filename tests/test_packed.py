@@ -313,3 +313,60 @@ def test_gather_batch_rejects_heterogeneous_d_model(tmp_path, rng,
     with pytest.raises(RuntimeError, match="rc=-4"):
         store.gather_batch(["a", "b"], idx, n_patch_out=4, d_model=8)
     store.close()
+
+
+def test_ps_err_io_degrades_to_numpy(tmp_path, rng, monkeypatch):
+    """PS_ERR_IO (code 1: fd limit / mmap exhaustion) on a pack the numpy
+    reader just validated degrades to the numpy path — only FORMAT codes
+    (>= 2) raise the reader-disagreement error."""
+    import ctypes
+
+    from lstc_vad_tpu.data import packed as pk
+
+    path = _write_sample_pack(tmp_path, rng)
+
+    class _IOFailLib:
+        def ps_open_checked(self, _path, err_ref):
+            # ctypes.byref result: write through the underlying object
+            err_ref._obj.value = 1  # PS_ERR_IO
+            return None
+
+    monkeypatch.setattr(pk, "_load_lib", lambda: _IOFailLib())
+    store = pk.PackedStore(str(path))
+    assert store.native is False  # degraded, not raised
+    assert store.get("vid_00").shape == store._np.view("vid_00").shape
+
+    class _FormatFailLib:
+        def ps_open_checked(self, _path, err_ref):
+            err_ref._obj.value = 3  # PS_ERR_INDEX: a real disagreement
+            return None
+
+    monkeypatch.setattr(pk, "_load_lib", lambda: _FormatFailLib())
+    with pytest.raises(pk.PackFormatError, match="code 3"):
+        pk.PackedStore(str(path))
+
+
+def test_prebuilt_lib_without_checked_open(tmp_path, rng, monkeypatch):
+    """A prebuilt libpackstore.so predating ps_open_checked still works:
+    plain ps_open is safe because _NumpyPack validates the format first."""
+    from lstc_vad_tpu.data import packed as pk
+
+    path = _write_sample_pack(tmp_path, rng)
+    real = pk._load_lib()
+    if real is None:
+        pytest.skip("no native toolchain")
+
+    class _OldLib:
+        """Forwards everything EXCEPT ps_open_checked (AttributeError,
+        like a ctypes CDLL missing the symbol)."""
+
+        def __getattr__(self, name):
+            if name == "ps_open_checked":
+                raise AttributeError(name)
+            return getattr(real, name)
+
+    monkeypatch.setattr(pk, "_load_lib", lambda: _OldLib())
+    store = pk.PackedStore(str(path))
+    assert store.native is True  # opened via plain ps_open
+    np.testing.assert_array_equal(store.get("vid_00"),
+                                  store._np.view("vid_00"))

@@ -294,3 +294,80 @@ def test_serve_jsonl_flush_every_and_end_all(model, rng):
     # (no empty-buffer leak), so end_all has nothing left to finish
     assert not [r for r in replies if r.get("ended")]
     assert n_scores == 2
+
+
+def test_from_artifact_rejects_part_len_mismatch(model, tmp_path):
+    """A part_len override that disagrees with the artifact's baked meta
+    would recompute n_patch and silently truncate every pushed clip."""
+    from lstc_vad_tpu.export import save_scorer_artifact
+
+    enc, head, params = model
+    art = str(tmp_path / "artifact")
+    save_scorer_artifact(art, enc, head, "classifier", params, 12, 16,
+                         platforms=("cpu",),
+                         extra_meta={"n_patch": 4, "part_len": 3})
+    with pytest.raises(ValueError, match="exported with part_len=3"):
+        StreamingScorer.from_artifact(art, part_len=2)  # 12 % 2 == 0, but...
+    # equal override is fine
+    s = StreamingScorer.from_artifact(art, part_len=3)
+    assert (s.part_len, s.n_patch) == (3, 4)
+
+
+def test_flush_restores_buffers_on_device_error(model, rng):
+    """A device/transfer error mid-flush must not lose buffered clips: the
+    popped parts are re-prepended so a retry rescores the same state."""
+    enc, head, params = model
+    part_len, n_patch, d = 3, 4, 16
+    scorer = StreamingScorer(enc, head, params, part_len, n_patch, d,
+                             max_streams=1)  # 2 ready streams -> 2 groups
+    videos = {sid: rng.standard_normal((4, n_patch, d)).astype(np.float32)
+              for sid in ("a", "b")}
+    for sid, v in videos.items():
+        for clip in v:
+            scorer.push(sid, clip)
+
+    good = scorer._apply
+    calls = []
+
+    def bad_apply(p, t):
+        calls.append(t.shape)
+        raise RuntimeError("tunnel died")
+
+    scorer._apply = bad_apply
+    with pytest.raises(RuntimeError, match="tunnel died"):
+        scorer.flush()
+    assert calls  # the failure happened after parts were popped
+    assert {sid: len(buf) for sid, buf in scorer._buffers.items()} == \
+        {"a": 4, "b": 4}  # every clip restored
+
+    scorer._apply = good  # retry scores the exact same parts
+    retry = dict(scorer.flush())
+    offline = PartScorer(enc, head, part_len, n_patch)
+    for sid, v in videos.items():
+        expected, _ = offline.score_video(params, v)
+        assert retry[sid] == pytest.approx(float(expected[0]), abs=1e-5)
+
+    scorer._apply = bad_apply  # end_streams restores too
+    with pytest.raises(RuntimeError):
+        scorer.end_streams(["a", "b"])
+    assert {sid: len(buf) for sid, buf in scorer._buffers.items()} == \
+        {"a": 1, "b": 1}  # the flushed-off tails survived the failed end
+    scorer._apply = good
+    ended = scorer.end_streams(["a", "b"])
+    assert len(ended["a"]) == 1 and len(ended["b"]) == 1
+
+
+def test_serve_jsonl_flush_drains_backlog(model, rng):
+    """One flush request drains EVERY buffered full part (a server behind
+    the push rate must catch up, not retain one part per cycle)."""
+    clips = rng.standard_normal((7, 4, 16)).astype(np.float32)
+    script = [{"op": "push", "stream": "cam", "feat": c.tolist()}
+              for c in clips] + [{"op": "flush"}]
+    replies, (n_push, n_scores) = _serve(model, script)
+    assert n_push == 7
+    assert {"flushed": 2} in replies  # both 3-clip parts in ONE flush
+    scores = [r for r in replies if "score" in r]
+    assert len(scores) == 2
+    (end,) = [r for r in replies if r.get("ended")]  # EOF ends the 1-clip tail
+    assert len(end["scores"]) == 1
+    assert n_scores == 3
