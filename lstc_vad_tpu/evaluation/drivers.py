@@ -25,8 +25,11 @@ def _concat_auc(scores: List[np.ndarray], labels: List[np.ndarray]) -> float:
     return roc_auc(np.concatenate(scores), np.concatenate(labels))
 
 
-def _result(all_scores, all_labels, return_scores, return_labels=False):
-    auc = _concat_auc(all_scores, all_labels)
+def _result(all_scores, all_labels, return_scores, return_labels=False,
+            compute_auc=True):
+    # compute_auc=False skips the O(F log F) full-test-set ranking when the
+    # caller only wants scores (the 10-crop mean path ranks once at the end)
+    auc = _concat_auc(all_scores, all_labels) if compute_auc else None
     if return_labels:
         # (auc, per-video frame scores, per-video frame labels) — the pairs
         # video-level bootstrap resampling needs (metrics.bootstrap_auc_ci)
@@ -39,7 +42,8 @@ def _result(all_scores, all_labels, return_scores, return_labels=False):
 def evaluate_stn(params, scorer: ClipScorer, items: Iterable[Item],
                  segment_len: int = 16,
                  return_scores: bool = False,
-                 return_labels: bool = False):
+                 return_labels: bool = False,
+                 compute_auc: bool = True):
     """STN whole-video eval: clip scores x segment_len vs annotation head
     (Train/spatio_transformer_shanghaitech.py:133-143; anno=None -> zeros,
     the normal-video train-split branch :164-165).  All videos' clips are
@@ -53,13 +57,15 @@ def evaluate_stn(params, scorer: ClipScorer, items: Iterable[Item],
             anno[:len(s)], dtype=np.float64)
         all_scores.append(s[:len(lab)])
         all_labels.append(lab)
-    return _result(all_scores, all_labels, return_scores, return_labels)
+    return _result(all_scores, all_labels, return_scores, return_labels,
+                   compute_auc)
 
 
 def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
                  segment_len: int = 16,
                  return_scores: bool = False,
-                 return_labels: bool = False):
+                 return_labels: bool = False,
+                 compute_auc: bool = True):
     """LTN part-chunked eval with tail re-window
     (Test/evaluation_shanghaitech_ubnormal.py:70-95).  All videos' parts are
     scored in large cross-video batches (scorer.score_videos)."""
@@ -72,7 +78,8 @@ def evaluate_ltn(params, scorer: PartScorer, items: Iterable[Item],
             anno[:len(s)], dtype=np.float64)
         all_scores.append(s[:len(lab)])
         all_labels.append(lab)
-    return _result(all_scores, all_labels, return_scores, return_labels)
+    return _result(all_scores, all_labels, return_scores, return_labels,
+                   compute_auc)
 
 
 def evaluate_multicrop_mean(eval_fn, params, scorer, items_for_crop,
@@ -92,7 +99,7 @@ def evaluate_multicrop_mean(eval_fn, params, scorer, items_for_crop,
     for crop in range(n_crops):
         items = list(items_for_crop(crop))
         _, scores = eval_fn(params, scorer, items, segment_len,
-                            return_scores=True)
+                            return_scores=True, compute_auc=False)
         if score_sum is None:
             score_sum = [np.asarray(s, np.float64) for s in scores]
             annos = [anno for _, anno in items]

@@ -17,7 +17,6 @@ import os
 from typing import Optional
 
 from ..config import TrainConfig, replace
-from ..data.datasets import load_train_records
 from ..evaluation.scoring import ClipScorer, PartScorer, UCFBinnedScorer
 from ..train.driver import Trainer
 from ..utils.logging import get_logger
@@ -43,6 +42,28 @@ class CoTeachingDriver:
         self.ltn_pseudo_path = os.path.join(workdir, "ltn_pseudo.npy")
         self.last_stn: Optional[Trainer] = None
         self.last_ltn: Optional[Trainer] = None
+        # shared across rounds: run() keeps every round's Trainer alive (the
+        # caller scores them afterwards), so each round would otherwise add
+        # a full eager train cache + memoized test split to host RSS
+        self._store = self._test_videos = None
+        self._store_sig = self._tv_sig = ()
+
+    def _trainer(self, cfg: TrainConfig) -> Trainer:
+        """Build a round's Trainer, reusing the previous round's feature
+        store / test split when the data config still matches."""
+        d = cfg.data
+        store_sig = (d.pack_path, d.h5_path, d.ten_crop, d.n_patch,
+                     d.d_model, d.eager)
+        tv_sig = store_sig + (d.dataset, d.test_txt, d.test_mask_dir,
+                              d.test_mask_h5)
+        trainer = Trainer(
+            cfg, logger=self.logger, mesh=self.mesh,
+            store=self._store if store_sig == self._store_sig else None,
+            test_videos=(self._test_videos
+                         if tv_sig == self._tv_sig else None))
+        self._store, self._store_sig = trainer.store, store_sig
+        self._test_videos, self._tv_sig = trainer.test_videos, tv_sig
+        return trainer
 
     # ------------------------------------------------------------ phases
 
@@ -58,7 +79,7 @@ class CoTeachingDriver:
                 # STN script's 32
                 kw["max_clips"] = 21
             cfg = replace(cfg, model="stn_bce", **kw)
-        trainer = Trainer(cfg, logger=self.logger, mesh=self.mesh)
+        trainer = self._trainer(cfg)
         trainer.fit(epochs=epochs)
         self.last_stn = trainer
         return trainer
@@ -70,7 +91,7 @@ class CoTeachingDriver:
         # re-windowing (Train/spatio_transformer_MIL_CE.py:296)
         cfg = replace(self.ltn_cfg, eval_tail_rewindow=False,
                       **{"data.pseudo_labels_path": self.stn_pseudo_path})
-        trainer = Trainer(cfg, logger=self.logger, mesh=self.mesh)
+        trainer = self._trainer(cfg)
         trainer.fit(epochs=epochs)
         self.last_ltn = trainer
         return trainer
@@ -89,10 +110,13 @@ class CoTeachingDriver:
 
     def generate_stn_pseudo(self, trainer: Trainer):
         d = trainer.cfg.data
-        records = load_train_records(d.dataset, d.train_txt)
+        records = trainer.train_records
         # eval_encoder: pseudo-label scoring is inference — f32 compute even
-        # when the round trained in bf16 (train/driver.py _make_eval_encoder)
+        # when the round trained in bf16 (train/driver.py _make_eval_encoder).
+        # kind: a classifier head must score P(abnormal), not out[:, 0]
+        # (the reference's n_layers==1 switch, generator.py docstring)
         scorer = ClipScorer(trainer.eval_encoder, trainer.head, d.n_patch,
+                            kind=trainer.cfg.head.kind,
                             sharding=trainer.sharding,
                             transfer_dtype=d.eval_transfer_dtype)
         params = (trainer.best_params if trainer.best_params is not None
@@ -106,7 +130,7 @@ class CoTeachingDriver:
 
     def generate_ltn_pseudo(self, trainer: Trainer):
         d = trainer.cfg.data
-        records = load_train_records(d.dataset, d.train_txt)
+        records = trainer.train_records  # already parsed by Trainer.__init__
         if d.dataset == "UCF":
             # max_clips from the round's config (reference generator
             # hardcodes 32, Train/pseudo_labels_generator_temporal.py:70 —

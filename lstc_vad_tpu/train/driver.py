@@ -47,13 +47,18 @@ class Trainer:
     """Owns dataset, state, step fn and eval scorers for one config."""
 
     def __init__(self, cfg: TrainConfig, logger=None, sharding=None,
-                 mesh=None, eval_only: bool = False):
+                 mesh=None, eval_only: bool = False, store=None,
+                 test_videos=None):
         """``mesh``: a ('data','model') jax Mesh — the train state is laid
         out with the tensor-parallel rules (parallel/mesh.py) and batches
         arrive sharded on the data axis; XLA GSPMD handles the collectives.
         ``sharding`` alone just shards input batches (pure dp).
         ``eval_only``: skip training-dataset construction and the train-step
-        build (for the evaluate / gen-pseudo CLI paths)."""
+        build (for the evaluate / gen-pseudo CLI paths).
+        ``store`` / ``test_videos``: reuse a previous Trainer's feature store
+        and test split — co-teaching holds every round's Trainer alive, so
+        without sharing each round adds a full eager train cache plus a
+        memoized test split to host RSS (pseudo/coteach.py)."""
         self.cfg = cfg
         self.logger = logger or get_logger()
         self.mesh = mesh
@@ -67,7 +72,21 @@ class Trainer:
                    if d.train_txt else [])
         if not records and not eval_only:
             raise ValueError("training requires data.train_txt")
-        if d.pack_path:
+        if not eval_only and cfg.eval_train_split:
+            # fail fast: the first train-split eval otherwise surfaces this
+            # as a FileNotFoundError AFTER inter_epoch epochs of compute
+            if d.dataset == "UCF":
+                raise ValueError("UCF has no train-split evaluation "
+                                 "(set eval_train_split=False)")
+            if not d.test_mask_dir:
+                raise ValueError(
+                    "eval_train_split=True scores abnormal train videos "
+                    "against frame masks (Train/spatio_transformer_"
+                    "shanghaitech.py:148-168): set data.test_mask_dir or "
+                    "eval_train_split=False")
+        if store is not None:
+            self.store = store
+        elif d.pack_path:
             from .. data.packed import PackedStore
             self.store = PackedStore(d.pack_path, ten_crop=d.ten_crop,
                                      n_patch=d.n_patch, d_model=d.d_model)
@@ -92,10 +111,13 @@ class Trainer:
         # in-training eval re-scores the split every inter_epoch epochs:
         # with data.eager (SHT/UBnormal presets) memoize features after the
         # first read; UCF (eager=False) and one-shot eval_only runs stream
-        self.test_videos = load_test_videos(
-            d.dataset, d.test_txt, self.store, mask_dir=d.test_mask_dir,
-            mask_h5=d.test_mask_h5,
-            cache=d.eager and not eval_only) if d.test_txt else []
+        if test_videos is not None:
+            self.test_videos = test_videos
+        else:
+            self.test_videos = load_test_videos(
+                d.dataset, d.test_txt, self.store, mask_dir=d.test_mask_dir,
+                mask_h5=d.test_mask_h5,
+                cache=d.eager and not eval_only) if d.test_txt else []
 
         self.state, self.encoder, self.head, self.tx = create_train_state(cfg)
         self.multiprocess = False
@@ -158,7 +180,11 @@ class Trainer:
                                                d.n_patch, cfg.max_clips,
                                                sharding=sh, transfer_dtype=td)
             else:
+                # kind: an n_layers==1 classifier head scores P(abnormal)
+                # (the pseudo-generator switch) — out[:, 0] would be the
+                # NORMAL-class probability, inverting every score
                 self.scorer = ClipScorer(enc, self.head, d.n_patch,
+                                         kind=cfg.head.kind,
                                          sharding=sh, transfer_dtype=td)
         else:
             if d.dataset == "UCF":
@@ -270,12 +296,16 @@ class Trainer:
                         "[iter %d] %s", int(self.state.step),
                         {k: round(float(v), 4) for k, v in metrics.items()})
             if metrics:
-                jax.block_until_ready(metrics)
+                # the host fetch IS the sync barrier: block_until_ready may
+                # return before remote-attached TPU work drains (CLAUDE.md),
+                # so fetching the scalars must happen INSIDE the timer or
+                # the logged snippets_per_sec excludes queued step time
+                metrics = {k: float(v) for k, v in metrics.items()}
         self.dataset.shuffle_keys()
         self.timer.steps += n
         self.timer.items += n * snippets_per_batch
         self.timer.seconds += timer_total.seconds
-        out = {k: float(v) for k, v in metrics.items()}
+        out = dict(metrics)
         if n:
             out["snippets_per_sec"] = n * snippets_per_batch / \
                 max(timer_total.seconds, 1e-9)

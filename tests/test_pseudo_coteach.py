@@ -91,6 +91,10 @@ def test_coteaching_three_rounds(tmp_path):
     assert len(pseudo) == 7
     # LTN trainer consumed the STN pseudo labels
     assert trainers[1].cfg.data.pseudo_labels_path == driver.stn_pseudo_path
+    # rounds share ONE feature store + test split (run() keeps every round's
+    # Trainer alive; a per-round eager cache would grow host RSS per round)
+    assert trainers[0].store is trainers[1].store is trainers[2].store
+    assert trainers[0].test_videos is trainers[2].test_videos
 
 
 def test_ucf_ltn_pseudo_labels_at_clip_resolution(tmp_path):

@@ -43,6 +43,17 @@ def _cfg(tmp_path, model="stn", pseudo_path=None, **enc_extra):
     )
 
 
+def test_eval_train_split_requires_mask_dir(tmp_path):
+    """eval_train_split=True + unset test_mask_dir must fail at Trainer
+    construction, not after inter_epoch epochs of training."""
+    from lstc_vad_tpu.config import replace
+
+    cfg = replace(_cfg(tmp_path, "stn"), **{"data.test_mask_dir": ""})
+    assert cfg.eval_train_split  # the TrainConfig default
+    with pytest.raises(ValueError, match="test_mask_dir"):
+        Trainer(cfg)
+
+
 def test_stn_end_to_end(tmp_path):
     cfg = _cfg(tmp_path, "stn")
     trainer = Trainer(cfg)
