@@ -10,9 +10,10 @@ Multi-process (global-mesh) states are supported: every process calls save
 with the same path on a SHARED filesystem (the Orbax requirement); directory
 replacement is done by process 0 only, behind barriers.
 
-Asynchronous saves never destroy the previous committed checkpoint before
-the new one is fully written: the new checkpoint lands in ``<path>.next``
-and is promoted over ``path`` at the next save / ``wait_for_saves()`` —
+Saves never destroy the previous committed checkpoint before the new one
+is fully written: the new checkpoint lands in ``<path>.next`` and is
+promoted over ``path`` once complete (synchronous saves promote before
+returning; asynchronous ones at the next save / ``wait_for_saves()``) —
 so a crash mid-write still leaves a valid checkpoint on disk.
 """
 
@@ -89,9 +90,20 @@ def _promote(tmp: str, final: str, multiproc: bool):
 
 
 def _commit_pending():
+    global _ASYNC_CKPTR
     if not _PENDING:
         return
-    _async_ckptr().wait_until_finished()
+    try:
+        _async_ckptr().wait_until_finished()
+    except Exception:
+        # The in-flight background write failed (disk full, fs error): its
+        # .next directory is incomplete and must never be promoted over the
+        # good checkpoint.  Drop the pending entry and the checkpointer
+        # (AsyncCheckpointer pins the stored error) so the next save starts
+        # clean instead of re-raising this failure forever.
+        _PENDING.clear()
+        _ASYNC_CKPTR = None
+        raise
     for tmp, final, multiproc in _PENDING:
         _promote(tmp, final, multiproc)
     _PENDING.clear()
@@ -116,9 +128,18 @@ def save_checkpoint(path: str, state: Any, overwrite: bool = True,
         _async_ckptr().save(tmp, args=ocp.args.StandardSave(state))
         _PENDING.append((tmp, path, multiproc))
         return
-    if overwrite:
-        _remove(path, multiproc)
     ckptr = ocp.StandardCheckpointer()
+    if overwrite:
+        # Never delete the existing checkpoint before the replacement is
+        # fully on disk: write to <path>.next, then promote (same
+        # one-valid-directory-at-every-instant guarantee as the async path).
+        _commit_pending()  # a pending async save may own <path>.next
+        tmp = path + ".next"
+        _remove(tmp, multiproc)
+        ckptr.save(tmp, state)
+        ckptr.wait_until_finished()
+        _promote(tmp, path, multiproc)
+        return
     ckptr.save(path, state)
     ckptr.wait_until_finished()
 
@@ -126,9 +147,10 @@ def save_checkpoint(path: str, state: Any, overwrite: bool = True,
 def wait_for_saves():
     """Block until every pending asynchronous save has committed AND been
     promoted to its final path."""
-    if _ASYNC_CKPTR is not None:
+    if _PENDING:
+        _commit_pending()  # waits, promotes; on failure drops the dead entry
+    elif _ASYNC_CKPTR is not None:
         _ASYNC_CKPTR.wait_until_finished()
-    _commit_pending()
 
 
 def load_checkpoint(path: str, target: Optional[Any] = None) -> Any:

@@ -42,7 +42,9 @@ def parse_sht_train(txt_path: str) -> List[TrainRecord]:
     out = []
     for line in _lines(txt_path):
         parts = line.split(",")
-        out.append(TrainRecord(key=parts[0], is_abnormal=int(parts[-1]) == 1))
+        # the reference buckets label==0 as normal and EVERYTHING else as
+        # abnormal (utils/load_dataset.py:41-46), not just label==1
+        out.append(TrainRecord(key=parts[0], is_abnormal=int(parts[-1]) != 0))
     return out
 
 

@@ -136,9 +136,9 @@ class PairedTrainDataset:
                 and not self.double_short):
             return None
         n = stop - start
-        keys: list = []
+        keys: list = [None] * (2 * n)
         idx = np.empty((2 * n, self.part_num * self.part_len), dtype=np.int64)
-        labs = []
+        lab_arr = np.empty((2 * n, idx.shape[1]), dtype=np.float32)
         for j, item in enumerate(range(start, stop)):
             for half, (recs, perm) in enumerate(
                     ((self.normal, self._norm_perm),
@@ -148,19 +148,13 @@ class PairedTrainDataset:
                 row = sample_part_indices(feat_len, self.part_num,
                                           self.part_len, self.sample,
                                           self.rng)
-                lab = _labels_for(self._pseudo_for(rec.key), feat_len,
-                                  rec.is_abnormal)[row]
-                slot = j + half * n
-                keys.append((slot, rec.key))
+                slot = j + half * n  # normals fill rows [0,n), abnormals [n,2n)
+                keys[slot] = rec.key
                 idx[slot] = row
-                labs.append((slot, lab))
-        keys.sort()
-        _, _, d_model = self.store.shape(keys[0][1])
-        feats = self.store.gather_batch([k for _, k in keys], idx,
-                                        self.n_patch, d_model)
-        lab_arr = np.empty((2 * n, idx.shape[1]), dtype=np.float32)
-        for slot, lab in labs:
-            lab_arr[slot] = lab
+                lab_arr[slot] = _labels_for(self._pseudo_for(rec.key),
+                                            feat_len, rec.is_abnormal)[row]
+        _, _, d_model = self.store.shape(keys[0])
+        feats = self.store.gather_batch(keys, idx, self.n_patch, d_model)
         return (feats[:n], lab_arr[:n], feats[n:], lab_arr[n:])
 
 
@@ -232,6 +226,11 @@ def load_test_videos(dataset: str, test_txt: str, store: FeatureStore,
             if abnormal:
                 anno = np.load(os.path.join(mask_dir, rec.key + ".npy"))
             else:
+                if rec.n_frames is None:
+                    raise ValueError(
+                        f"{test_txt}: normal test video {rec.key!r} has no "
+                        "frame count (expected 'key,n_frames' lines, "
+                        "utils/load_dataset.py:613-617)")
                 anno = np.zeros(int(rec.n_frames))
             videos.append(TestVideo(rec.key, anno, abnormal, rec.n_frames,
                                     store.n_clips(rec.key), lazy(rec.key),

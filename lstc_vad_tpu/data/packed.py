@@ -242,10 +242,13 @@ class PackedStore:
         return list(self._np.index.keys())
 
     def n_clips(self, key: str) -> int:
-        n_clips, _, _ = self._np.shape(key)
+        shape = self._np.shape(key)
         if self._ten_crop:
-            return n_clips // 10
-        return n_clips
+            # total-size based, like FeatureStore.n_clips and get()'s own
+            # reshape(-1, 10, p, d): correct for both first-axis-stacked
+            # [10*n, p, d] and patch-folded [n, 10*p, d] layouts
+            return int(np.prod(shape)) // (10 * self._tc_patch * self._tc_d)
+        return shape[0]
 
     def get(self, key: str, crop: Optional[int] = None) -> np.ndarray:
         n_clips, n_patch, d_model = self._np.shape(key)

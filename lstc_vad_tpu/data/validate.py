@@ -137,7 +137,10 @@ def validate_data(cfg: TrainConfig) -> Tuple[List[str], dict]:
                     continue
                 m = np.asarray(entry).shape[0]  # entries are [L] or [L, 2]
                 doubled = n
-                while d.dataset == "UCF" and 0 < doubled < d.part_len:
+                # mirror sampler.maybe_double_short exactly: it doubles
+                # while <= part_len (a video of exactly part_len clips IS
+                # doubled), so validate must expect the same final length
+                while d.dataset == "UCF" and 0 < doubled <= d.part_len:
                     doubled *= 2
                 if m not in (n, doubled):
                     problems.append(
@@ -193,6 +196,12 @@ def validate_data(cfg: TrainConfig) -> Tuple[List[str], dict]:
                             else r.key.split("_")[0] == "abnormal")
                 ok = check_key(r.key, "test")
                 if not abnormal:
+                    # normal videos take their anno length from n_frames
+                    # (load_test_videos builds zeros(n_frames))
+                    if d.dataset == "UBnormal" and r.n_frames is None:
+                        problems.append(
+                            f"test: normal video {r.key!r} has no frame "
+                            "count (expected 'key,n_frames' lines)")
                     continue
                 mask_path = os.path.join(d.test_mask_dir, r.key + ".npy")
                 if not os.path.exists(mask_path):
@@ -200,7 +209,17 @@ def validate_data(cfg: TrainConfig) -> Tuple[List[str], dict]:
                                     f"{mask_path!r} for abnormal test video")
                 elif ok:
                     n = store.n_clips(r.key)
-                    mask = np.load(mask_path, allow_pickle=True)
+                    try:
+                        # same np.load semantics as the runtime loader
+                        # (datasets.py load_test_videos: allow_pickle=False
+                        # default) — a pickled/object mask must fail HERE,
+                        # not at eval startup
+                        mask = np.load(mask_path)
+                    except Exception as e:
+                        problems.append(
+                            f"mask {mask_path!r}: not loadable with the "
+                            f"runtime's np.load (allow_pickle=False): {e}")
+                        continue
                     # eval consumes anno[: n_clips*segment_len] slices; a
                     # mask shorter than ONE clip can't score anything
                     if np.asarray(mask).reshape(-1).shape[0] < d.segment_len:

@@ -136,3 +136,76 @@ def test_promote_keeps_one_valid_checkpoint(tmp_path):
     assert os.path.exists(final + "/marker_new")
     assert not os.path.exists(final + ".old")  # cleaned after the swap
     assert not os.path.exists(tmp)
+
+
+def test_sync_save_keeps_old_until_new_committed(tmp_path, monkeypatch):
+    """Synchronous overwrite save must never delete the existing checkpoint
+    before the replacement is fully written: a crash mid-serialization
+    leaves the previous checkpoint restorable."""
+    import orbax.checkpoint as ocp
+
+    from lstc_vad_tpu.ckpt import load_checkpoint, save_checkpoint
+
+    tree = {"a": np.arange(4, dtype=np.float32)}
+    target = {"a": np.zeros(4, np.float32)}
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, tree)
+
+    def crashing_save(self, path, state):
+        # partial write: the tmp directory exists but holds no valid
+        # checkpoint (raising after orbax completes would corrupt its
+        # global signaling contracts — and a real crash interrupts the
+        # write, it doesn't finish it)
+        import os
+
+        os.makedirs(path, exist_ok=True)
+        raise RuntimeError("simulated crash mid-save")
+
+    monkeypatch.setattr(ocp.StandardCheckpointer, "save", crashing_save)
+    with np.testing.assert_raises(RuntimeError):
+        save_checkpoint(p, {"a": tree["a"] + 1})
+    monkeypatch.undo()
+
+    out = load_checkpoint(p, target)  # crash-window state: old one survives
+    np.testing.assert_array_equal(out["a"], tree["a"])
+
+    save_checkpoint(p, {"a": tree["a"] + 2})  # and the path still works
+    out = load_checkpoint(p, target)
+    np.testing.assert_array_equal(out["a"], tree["a"] + 2)
+
+
+def test_failed_async_save_does_not_wedge(tmp_path):
+    """A failed background write must not be promoted, must not leave a
+    stale _PENDING entry re-raising forever, and must not block later
+    saves."""
+    import pytest
+
+    from lstc_vad_tpu.ckpt import load_checkpoint, save_checkpoint
+    from lstc_vad_tpu.ckpt import orbax_io
+
+    tree = {"a": np.arange(3, dtype=np.float32)}
+    target = {"a": np.zeros(3, np.float32)}
+    p = str(tmp_path / "ck")
+    save_checkpoint(p, tree)
+
+    class FailingCkptr:
+        def wait_until_finished(self):
+            raise OSError("simulated disk-full background write")
+
+    orbax_io._PENDING.append((p + ".next", p, False))
+    saved = orbax_io._ASYNC_CKPTR
+    orbax_io._ASYNC_CKPTR = FailingCkptr()
+    try:
+        with pytest.raises(OSError):
+            orbax_io.wait_for_saves()
+    finally:
+        if orbax_io._ASYNC_CKPTR is not None and saved is not None:
+            orbax_io._ASYNC_CKPTR = saved
+    assert orbax_io._PENDING == []  # dead entry dropped, machinery clean
+
+    out = load_checkpoint(p, target)  # incomplete .next never promoted
+    np.testing.assert_array_equal(out["a"], tree["a"])
+    save_checkpoint(p, {"a": tree["a"] + 1}, asynchronous=True)
+    orbax_io.wait_for_saves()
+    out = load_checkpoint(p, target)
+    np.testing.assert_array_equal(out["a"], tree["a"] + 1)

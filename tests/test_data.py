@@ -287,3 +287,13 @@ def test_double_short_also_doubles_pseudo_labels(tmp_path, rng):
     nf, nl, af, al = ds[0]
     assert nf.shape[0] == 28 and nl.shape == (28,)
     assert np.isfinite(al).all()
+
+
+def test_sht_train_nonzero_label_is_abnormal(tmp_path):
+    """The reference buckets label==0 normal and EVERYTHING else abnormal
+    (utils/load_dataset.py:41-46) — a label of 2 must not flip to normal."""
+    txt = str(tmp_path / "t.txt")
+    with open(txt, "w") as f:
+        f.write("vid_a,0\nvid_b,1\nvid_c,2\nvid_d,-1\n")
+    recs = parse_sht_train(txt)
+    assert [r.is_abnormal for r in recs] == [False, True, True, True]

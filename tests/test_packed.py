@@ -370,3 +370,23 @@ def test_prebuilt_lib_without_checked_open(tmp_path, rng, monkeypatch):
     assert store.native is True  # opened via plain ps_open
     np.testing.assert_array_equal(store.get("vid_00"),
                                   store._np.view("vid_00"))
+
+
+def test_tencrop_n_clips_total_size_based(tmp_path):
+    """PackedStore.n_clips under tenCrop must agree with get()'s own
+    reshape(-1, 10, p, d) for BOTH valid stored layouts: first-axis-stacked
+    [10*n, p, d] and patch-folded [n, 10*p, d] (FeatureStore already counts
+    by total size, feature_store.py:67-68)."""
+    n, p, d = 6, 4, 8
+    stacked = np.arange(10 * n * p * d, dtype=np.float32).reshape(
+        10 * n, p, d)
+    folded = np.arange(n * 10 * p * d, dtype=np.float32).reshape(
+        n, 10 * p, d)
+    path = str(tmp_path / "tc.lstcpack")
+    write_pack(path, [("stacked", stacked), ("folded", folded)])
+    store = PackedStore(path, ten_crop=True, n_patch=p, d_model=d)
+    for key in ("stacked", "folded"):
+        assert store.n_clips(key) == n
+        assert store.get(key).shape == (n, 10, p, d)
+        assert store.get(key, crop=3).shape == (n, p, d)
+    store.close()

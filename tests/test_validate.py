@@ -146,3 +146,71 @@ def test_suffixless_dataset_reported_not_crash(tmp_path):
         f["01_000"] = arr
     problems, _ = validate_data(_sht_cfg(fixture))
     assert any("without the '.npy' dataset suffix" in p for p in problems)
+
+
+def test_pseudo_doubling_at_exactly_part_len(tmp_path):
+    """A UCF video with EXACTLY part_len clips is doubled by the runtime
+    (sampler doubles while <= part_len); validate must expect the doubled
+    pseudo entry count, not flag a consistent dataset."""
+    h5, train_txt, test_txt, gt_h5 = make_ucf_like(str(tmp_path))
+    cfg = preset("ucf_ltn")
+    part_len = cfg.data.part_len
+    with h5py.File(h5, "a") as f:
+        victim = [k for k in f.keys()][0]
+        del f[victim]
+        f[victim] = np.zeros((part_len, 3, 16), np.float32)
+    pseudo_path = str(tmp_path / "pseudo.npy")
+    with h5py.File(h5, "r") as f:
+        from lstc_vad_tpu.data.sampler import maybe_double_short
+        np.save(pseudo_path,
+                {k: np.zeros(maybe_double_short(f[k][:], part_len).shape[0],
+                             np.float32) for k in f.keys()})
+    data = replace(cfg.data, h5_path=h5, train_txt=train_txt,
+                   test_txt=test_txt, test_mask_h5=gt_h5, n_patch=3,
+                   d_model=16, pseudo_labels_path=pseudo_path)
+    problems, _ = validate_data(replace(cfg, data=data))
+    assert problems == []
+
+
+def test_pickled_mask_rejected_like_runtime(tmp_path):
+    """validate loads masks with the runtime's np.load semantics
+    (allow_pickle=False): an object-array mask is a PROBLEM line, not a
+    clean validation followed by a crash at eval startup."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16)
+    _, _, _, mask_dir = fixture
+    import os
+    victim = os.path.join(mask_dir, "02_004.npy")
+    frames = np.load(victim).tolist()
+    np.save(victim, np.array([frames], dtype=object), allow_pickle=True)
+    problems, _ = validate_data(_sht_cfg(fixture))
+    assert any("allow_pickle=False" in p and "02_004" in p for p in problems)
+
+
+def test_ubnormal_missing_frame_count_caught(tmp_path):
+    """A UBnormal test line without ',n_frames' is tolerated by the parser
+    (train never uses it) but fatal for normal test videos: validate names
+    it, and load_test_videos raises a clean ValueError, not a TypeError."""
+    import pytest
+
+    from fixtures import make_ubnormal_like
+    from lstc_vad_tpu.data.datasets import load_test_videos
+    from lstc_vad_tpu.data.feature_store import FeatureStore
+
+    h5, train_txt, test_txt, mask_dir = make_ubnormal_like(str(tmp_path))
+    with open(test_txt) as f:
+        lines = f.read().splitlines()
+    lines[0] = lines[0].split(",")[0]  # normal video, frame count dropped
+    with open(test_txt, "w") as f:
+        f.write("\n".join(lines) + "\n")
+
+    cfg = preset("ubnormal_ltn")
+    data = replace(cfg.data, h5_path=h5, train_txt=train_txt,
+                   test_txt=test_txt, test_mask_dir=mask_dir + "/",
+                   n_patch=4, d_model=8)
+    problems, _ = validate_data(replace(cfg, data=data))
+    assert any("no frame count" in p for p in problems)
+
+    store = FeatureStore(h5, n_patch=4, d_model=8)
+    with pytest.raises(ValueError, match="no frame count"):
+        load_test_videos("UBnormal", test_txt, store, mask_dir=mask_dir + "/")
+    store.close()
