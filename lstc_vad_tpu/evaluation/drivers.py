@@ -22,6 +22,9 @@ Item = Tuple[np.ndarray, Optional[np.ndarray]]  # (feats, per-frame anno|None)
 
 
 def _concat_auc(scores: List[np.ndarray], labels: List[np.ndarray]) -> float:
+    if not scores:
+        raise ValueError("no videos to evaluate (the item list is empty — "
+                         "check the test split / filters)")
     return roc_auc(np.concatenate(scores), np.concatenate(labels))
 
 

@@ -18,7 +18,7 @@ from __future__ import annotations
 
 import collections
 import functools
-from typing import List, Optional, Tuple
+from typing import Dict, List, Optional, Tuple
 
 import jax
 import jax.numpy as jnp
@@ -47,10 +47,11 @@ def _read_ahead(feats_list, depth: int = 1):
     """Yield resolved feature arrays, loading ``depth`` videos ahead in a
     reader thread: video N+1's h5/pack read overlaps video N's host copy and
     device dispatch (the 1-core host would serialize IO with everything else
-    otherwise).  Worst-case liveness is current + depth + 1 arrays (the
+    otherwise).  Steady-state liveness is current + depth + 1 arrays (the
     consumer's, the queue's, and the worker's in-flight read blocked on the
-    full queue) — the streaming guarantee (tests/test_streaming.py pins 3 at
-    depth=1) is preserved.  Loader exceptions re-raise in the consumer.
+    full queue), plus at most one transient during the thread handoff — the
+    streaming guarantee (tests/test_streaming.py) is preserved.  Loader
+    exceptions re-raise in the consumer.
 
     If the consumer abandons the generator (a scoring exception mid
     score_videos, or an early close), the finally block signals the worker
@@ -93,6 +94,11 @@ def _read_ahead(feats_list, depth: int = 1):
             if item is done:
                 return
             yield item
+            # drop our reference BEFORE blocking in the next get: holding it
+            # across the wait would make worst-case liveness depth+3 (the
+            # consumed array + the next one + queue + worker in-flight)
+            # instead of the documented depth+2
+            del item
     finally:
         stop.set()
         while True:  # release anything still parked in the queue
@@ -117,6 +123,23 @@ def _scorer_apply(encoder, head, kind, l2, params, x):
     if kind == "classifier":
         return out[:, 1]
     return out[:, 0]
+
+
+def get_apply(encoder, head, kind: str, l2: bool):
+    """The process-level jitted apply for an (encoder, head, kind, l2)
+    config — flax Modules are frozen dataclasses, so equal configs share one
+    compiled program across every scorer instance (offline VideoScorers,
+    co-teaching rounds, AND serving.StreamingScorer) instead of re-tracing."""
+    key = (encoder, head, kind, l2)
+    fn = _APPLY_CACHE.get(key)
+    if fn is None:
+        fn = _APPLY_CACHE[key] = jax.jit(
+            functools.partial(_scorer_apply, encoder, head, kind, l2))
+        while len(_APPLY_CACHE) > _APPLY_CACHE_MAX:
+            _APPLY_CACHE.popitem(last=False)
+    else:
+        _APPLY_CACHE.move_to_end(key)
+    return fn
 
 
 def pad_to_bucket(n: int) -> int:
@@ -154,20 +177,8 @@ class VideoScorer:
 
     @functools.cached_property
     def _apply(self):
-        # process-level cache: flax Modules are frozen dataclasses, so equal
-        # (encoder, head) configs share one jitted program across scorer
-        # instances (e.g. every co-teaching round) instead of re-tracing
-        key = (self.encoder, self.head, self.kind, self.l2_normalize)
-        fn = _APPLY_CACHE.get(key)
-        if fn is None:
-            fn = _APPLY_CACHE[key] = jax.jit(
-                functools.partial(_scorer_apply, self.encoder, self.head,
-                                  self.kind, self.l2_normalize))
-            while len(_APPLY_CACHE) > _APPLY_CACHE_MAX:
-                _APPLY_CACHE.popitem(last=False)
-        else:
-            _APPLY_CACHE.move_to_end(key)
-        return fn
+        return get_apply(self.encoder, self.head, self.kind,
+                         self.l2_normalize)
 
     def _dispatch(self, params, tokens: np.ndarray):
         """ONE bucket-padded device dispatch (no host sync): returns a
@@ -471,9 +482,20 @@ class PartScorer:
                     flush()
         flush()
         pipe.drain()
+        # short tails grouped by length, like score_video's by_len: one
+        # batched call per distinct tail length instead of one synchronous
+        # batch-1 round-trip per video (pseudo generation over hundreds of
+        # train videos has ~one short tail each)
+        shorts_by_len: Dict[int, List[Tuple[int, int, np.ndarray]]] = {}
         for v, i, gathered in shorts:
-            tokens = gathered.reshape(1, -1, gathered.shape[-1])
-            out[v][i] = self.scorer.score_tokens(params, tokens)[0]
+            shorts_by_len.setdefault(gathered.shape[0], []).append(
+                (v, i, gathered))
+        for entries in shorts_by_len.values():
+            tokens = np.stack([g for _, _, g in entries])
+            tokens = tokens.reshape(len(entries), -1, tokens.shape[-1])
+            scores = self.scorer.score_tokens(params, tokens)
+            for (v, i, _), s in zip(entries, scores):
+                out[v][i] = s
         return list(zip(out, all_counts))
 
 
@@ -507,6 +529,11 @@ class UCFBinnedScorer:
         self.tail_rewindow = tail_rewindow
         self.adaptive_bins = adaptive_bins
 
+    # flush the cross-video groups every this-many accumulated parts: bounds
+    # resident binned arrays to a window (~120 UCF-scale videos) while still
+    # batching far beyond one video per device call
+    _FLUSH_PARTS = 2048
+
     def score_video(self, params, feats: np.ndarray, n_clips: int):
         scores, parts, r = self.score_videos(params, [(feats, n_clips)])[0]
         return scores, parts, r
@@ -528,24 +555,45 @@ class UCFBinnedScorer:
     def score_videos(self, params, items):
         """Cross-video batched variant: items = [(feats, n_clips)].
         Returns [(part_scores, parts, r)] aligned with items — one device
-        call per token-length group across ALL videos."""
+        call per token-length group per flush window.
+
+        Groups are flushed every ``_FLUSH_PARTS`` accumulated parts so the
+        binned feature arrays of only a window of videos stay resident (the
+        token rows are VIEWS into each video's binned array): the UCF train
+        split is ~1600 videos whose binned features would otherwise all be
+        held simultaneously, against the one-video-resident streaming the
+        other scorers (and pseudo/generator.py) promise."""
         items = list(items)
-        plans = [self._plan(f, n) for f, (_, n) in zip(
-            _read_ahead([f for f, _ in items]), items)]
+        metas = []   # (parts, r) per video — small, kept for the return
+        outs = []
         groups: dict = {}
-        for v, (binned, parts, _r) in enumerate(plans):
+        pending_parts = 0
+
+        def flush():
+            nonlocal pending_parts
+            for length, entries in groups.items():
+                tokens = np.stack([tok for _, _, tok in entries])
+                flat = self.scorer.score_tokens(params, tokens)
+                for (v, i, _), s in zip(entries, flat):
+                    outs[v][i] = s
+            groups.clear()  # drops the token views -> binned arrays free
+            pending_parts = 0
+
+        for v, (feats, (_, n)) in enumerate(
+                zip(_read_ahead([f for f, _ in items]), items)):
+            binned, parts, r = self._plan(feats, n)
+            del feats  # raw video array: only the pooled ``binned`` is kept
+            metas.append((parts, r))
+            outs.append(np.empty(len(parts), np.float32))
             for i, (beg, end) in enumerate(parts):
                 d = binned.shape[-1]
                 tok = binned[beg:end].reshape((end - beg) * self.n_patch, d)
                 groups.setdefault(end - beg, []).append((v, i, tok))
-        outs = [np.empty(len(parts), np.float32) for _, parts, _ in plans]
-        for length, entries in groups.items():
-            tokens = np.stack([tok for _, _, tok in entries])
-            flat = self.scorer.score_tokens(params, tokens)
-            for (v, i, _), s in zip(entries, flat):
-                outs[v][i] = s
-        return [(outs[v], plans[v][1], plans[v][2])
-                for v in range(len(plans))]
+            pending_parts += len(parts)
+            if pending_parts >= self._FLUSH_PARTS:
+                flush()
+        flush()
+        return [(outs[v], parts, r) for v, (parts, r) in enumerate(metas)]
 
 
 class UCFClipBinScorer:

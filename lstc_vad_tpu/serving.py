@@ -21,7 +21,6 @@ import base64
 import json
 from typing import Dict, List, Optional, Tuple
 
-import jax
 import numpy as np
 
 
@@ -109,30 +108,24 @@ class StreamingScorer:
         return self
 
     def _build(self):
-        encoder, head, kind = self.encoder, self.head, self.head_kind
+        # the SAME cached jitted apply the offline scorers use (bf16 wire
+        # upcasts on device there too): a process serving and evaluating the
+        # same config compiles one program, and the eval-apply semantics
+        # (f32 upcast, head select) cannot drift between the two paths
+        from .evaluation.scoring import get_apply
 
-        @jax.jit
-        def apply(params, tokens):
-            import jax.numpy as jnp
-
-            tokens = tokens.astype(jnp.float32)  # bf16 wire upcasts on device
-            h = encoder.apply({"params": params["encoder"]}, tokens,
-                              deterministic=True)
-            out = head.apply({"params": params["head"]}, h[:, 0, :],
-                             deterministic=True)
-            return out[:, 1] if kind == "classifier" else out[:, 0]
-
-        return apply
+        return get_apply(self.encoder, self.head, self.head_kind, False)
 
     def push(self, stream_id: str, clip_feat: np.ndarray) -> None:
         """Append one clip's features [n_patch, d] to a stream's buffer."""
-        buf = self._buffers.setdefault(stream_id, [])
+        # validate BEFORE touching _buffers: a rejected push must not leak
+        # an empty buffer entry per bad stream id in a long-running server
         clip = np.ascontiguousarray(clip_feat[:self.n_patch, :],
                                     dtype=self._wire_dtype)
         if clip.shape != (self.n_patch, self.d_model):
             raise ValueError(f"clip shape {clip.shape} != "
                              f"({self.n_patch}, {self.d_model})")
-        buf.append(clip)
+        self._buffers.setdefault(stream_id, []).append(clip)
 
     def end_stream(self, stream_id: str) -> List[float]:
         """Finish one stream; see end_streams."""
@@ -213,7 +206,11 @@ class StreamingScorer:
             dispatched = []
             for start in range(0, len(ready), self.max_streams):
                 group = ready[start:start + self.max_streams]
-                tokens = np.zeros((len(group), self.part_len * self.n_patch,
+                # preallocate the full padded batch (like end_streams'
+                # score_groups): a short final group fills rows in place
+                # instead of re-copying the whole batch via concatenate
+                tokens = np.zeros((self.max_streams,
+                                   self.part_len * self.n_patch,
                                    self.d_model), self._wire_dtype)
                 for i, sid in enumerate(group):
                     part = self._buffers[sid][:self.part_len]
@@ -224,11 +221,6 @@ class StreamingScorer:
                         del self._buffers[sid]
                     taken[sid] = part
                     tokens[i] = np.concatenate(part, axis=0)
-                pad = self.max_streams - len(group)
-                if pad:
-                    tokens = np.concatenate(
-                        [tokens, np.zeros((pad,) + tokens.shape[1:],
-                                          self._wire_dtype)])
                 dispatched.append((group, self._apply(self.params, tokens)))
             results: List[Tuple[str, float]] = []
             for group, device_scores in dispatched:
@@ -287,7 +279,8 @@ def serve_jsonl(scorer: StreamingScorer, in_stream, out_stream,
                   then {"flushed": N}
       end(s)   -> {"stream": ID, "scores": [...], "ended": true} per stream
                   (tails scored at true length — the offline no-re-window
-                  semantics, see end_streams)
+                  semantics, see end_streams); end_all then terminates the
+                  burst with {"ended_streams": N} (possibly N=0)
       error    -> {"error": "..."} ; the loop continues (a malformed line
                   must not kill the other streams)
 
@@ -316,12 +309,17 @@ def serve_jsonl(scorer: StreamingScorer, in_stream, out_stream,
         emit({"flushed": total})
         n_scores += total
 
-    def do_end(sids):
+    def do_end(sids, terminator=False):
         nonlocal n_scores
         outs = scorer.end_streams(sids)
         for sid in sids:
             emit({"stream": sid, "scores": outs[sid], "ended": True})
             n_scores += len(outs[sid])
+        if terminator:
+            # end_all's reply count is data-dependent (one line per stream,
+            # possibly zero): a synchronous pipe peer needs a terminator to
+            # know the burst is over, like flush's {"flushed": N}
+            emit({"ended_streams": len(sids)})
 
     for line in in_stream:
         line = line.strip()
@@ -343,11 +341,17 @@ def serve_jsonl(scorer: StreamingScorer, in_stream, out_stream,
             elif op == "end":
                 do_end([str(msg["stream"])])
             elif op == "end_all":
-                do_end(scorer.streams())
+                do_end(scorer.streams(), terminator=True)
             else:
                 raise ValueError(f"unknown op {op!r}")
         except Exception as e:  # malformed input must not kill the server
             emit({"error": f"{type(e).__name__}: {e}"})
     if scorer.streams():
-        do_end(scorer.streams())
+        try:
+            do_end(scorer.streams(), terminator=True)
+        except Exception as e:
+            # the implicit EOF cleanup must not crash the loop's return (an
+            # artifact without tail programs raises here for partial tails):
+            # report like any other request error and return the counts
+            emit({"error": f"{type(e).__name__}: {e}"})
     return n_push, n_scores

@@ -330,3 +330,51 @@ def test_part_scorer_double_buffers_dispatches():
     # numerics identical to the unpipelined single-video path
     direct, _ = scorer.score_video(params, feats[0])
     np.testing.assert_allclose(results[0][0], direct, rtol=1e-5)
+
+
+def test_score_videos_shorts_grouped_by_length():
+    """Short tails across videos are scored in per-length batches (one
+    score_tokens call per distinct tail length), never one synchronous
+    batch-1 call per video — and bit-match the per-video path."""
+    from lstc_vad_tpu.evaluation import scoring
+
+    cfg = EncoderConfig(relative_pe=True, window_size=5, window_depth=3,
+                        mha_layernorm=True, ffn_layernorm=True, **SMALL)
+    enc = Encoder(cfg)
+    head = make_head("classifier", 16, 8)
+    params = {
+        "encoder": enc.init(jax.random.PRNGKey(0),
+                            np.zeros((1, 12, 16), np.float32))["params"],
+        "head": head.init(jax.random.PRNGKey(1),
+                          np.zeros((1, 16), np.float32))["params"]}
+    scorer = scoring.PartScorer(enc, head, part_len=3, n_patch=4,
+                                tail_rewindow=False)
+    rng = np.random.default_rng(1)
+    # 8 videos, tails of 1 or 2 clips (never 0): 2 distinct tail lengths
+    feats = [rng.standard_normal((6 + 1 + (v % 2), 4, 16))
+             .astype(np.float32) for v in range(8)]
+    sync_calls = []
+    real = scorer.scorer.score_tokens
+    scorer.scorer.score_tokens = (
+        lambda p, t: (sync_calls.append(t.shape), real(p, t))[1])
+    batched = scorer.score_videos(params, feats)
+    assert len(sync_calls) == 2  # one per distinct tail length, not 8
+    scorer.scorer.score_tokens = real
+    for (s, c), f in zip(batched, feats):
+        s1, c1 = scorer.score_video(params, f)
+        # tails ride a different batch/bucket padding than the per-video
+        # path: same program, float-level reduction-order differences only
+        np.testing.assert_allclose(s, s1, atol=1e-6)
+        np.testing.assert_array_equal(c, c1)
+
+
+def test_empty_eval_raises_clearly(ltn_model):
+    """Zero test items is a clear 'no videos to evaluate' error, not an
+    obscure np.concatenate ValueError."""
+    from lstc_vad_tpu.evaluation.drivers import evaluate_ltn
+    from lstc_vad_tpu.evaluation.scoring import PartScorer
+
+    enc, head, params = ltn_model
+    scorer = PartScorer(enc, head, part_len=2, n_patch=3)
+    with pytest.raises(ValueError, match="no videos to evaluate"):
+        evaluate_ltn(params, scorer, [])

@@ -371,3 +371,68 @@ def test_serve_jsonl_flush_drains_backlog(model, rng):
     (end,) = [r for r in replies if r.get("ended")]  # EOF ends the 1-clip tail
     assert len(end["scores"]) == 1
     assert n_scores == 3
+
+
+def test_rejected_push_leaks_no_buffer(model):
+    """A shape-rejected push must not create an empty buffer entry (a
+    long-running server fed bad stream ids would grow without bound and
+    emit spurious ended-replies for streams that never held a clip)."""
+    enc, head, params = model
+    scorer = StreamingScorer(enc, head, params, 3, 4, 16)
+    for i in range(5):
+        with pytest.raises(ValueError):
+            scorer.push(f"bad{i}", np.zeros((2, 16), np.float32))
+    assert scorer.streams() == []
+
+
+def test_serving_shares_eval_apply_cache(model):
+    """StreamingScorer compiles NOTHING new when an offline scorer for the
+    same (encoder, head, kind) config already exists: both resolve to the
+    same process-level cached program (evaluation.scoring.get_apply)."""
+    enc, head, params = model
+    offline = PartScorer(enc, head, 3, 4)
+    online = StreamingScorer(enc, head, params, 3, 4, 16)
+    assert online._apply is offline.scorer._apply
+
+
+def test_end_all_emits_terminator(model):
+    """end_all's burst ends with {"ended_streams": N} — with zero buffered
+    streams a pipe peer still gets exactly one reply line, not silence."""
+    import io
+    import json
+
+    from lstc_vad_tpu.serving import serve_jsonl
+
+    enc, head, params = model
+    scorer = StreamingScorer(enc, head, params, 3, 4, 16)
+    out = io.StringIO()
+    serve_jsonl(scorer, io.StringIO('{"op": "end_all"}\n'), out)
+    replies = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert replies == [{"ended_streams": 0}]
+
+
+def test_eof_end_failure_reported_not_raised(model, rng):
+    """A failing implicit EOF end (e.g. an AOT artifact without tail
+    programs) must emit an error reply and return the counts — never
+    crash serve_jsonl with an uncaught traceback."""
+    import io
+    import json
+
+    from lstc_vad_tpu.serving import serve_jsonl
+
+    enc, head, params = model
+    scorer = StreamingScorer(enc, head, params, 3, 4, 16)
+
+    def failing_end(sids):
+        raise ValueError("no program for token_len 4")
+
+    scorer.end_streams = failing_end
+    clip = rng.standard_normal((4, 16)).astype(np.float32)
+    req = json.dumps({"op": "push", "stream": "cam0",
+                      "feat": clip.tolist()}) + "\n"
+    out = io.StringIO()
+    n_push, n_scores = serve_jsonl(scorer, io.StringIO(req), out)
+    assert (n_push, n_scores) == (1, 0)
+    replies = [json.loads(ln) for ln in out.getvalue().splitlines()]
+    assert any("no program for token_len" in r.get("error", "")
+               for r in replies)

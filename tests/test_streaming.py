@@ -119,7 +119,11 @@ def test_ucf_ltn_eval_streams_one_video_at_a_time():
     items = [(v.loader, v.anno, v.n_clips) for v in videos]
     auc = evaluate_ucf_ltn(params, scorer, items)
     assert 0.0 <= auc <= 1.0
-    assert store.max_live <= 3
+    # binned scoring interleaves pooling with the read-ahead pipeline:
+    # steady state is current + queued + worker-in-flight (3), plus one
+    # transient raw array during the thread handoff — still O(1), vs the
+    # O(n_videos) binned residency this bound exists to forbid
+    assert store.max_live <= 4
 
 
 def test_trainer_test_items_are_lazy(tmp_path):
