@@ -89,17 +89,28 @@ def ltn_mil_loss(part_scores: jnp.ndarray, part_num: int,
 
 
 def coteach_stn_mil_loss(snippet_scores: jnp.ndarray, part_num: int,
-                         part_len: int, lambda_1: float
+                         part_len: int, lambda_1: float,
+                         flat_sparsity: bool = True
                          ) -> Tuple[jnp.ndarray, jnp.ndarray, jnp.ndarray]:
     """Co-teaching round's STN MIL (Train/spatio_transformer_MIL_CE.py:32-44):
-    same video score as stn_mil_loss, but the sparsity term has the same
-    flat-slice quirk as the LTN (abn_pred = y_pred[batch_size:] on the flat
-    [2B*pn*pl, 1] tensor, :40-41)."""
+    same video score as stn_mil_loss; the sparsity term depends on the
+    dataset branch of the CALLER's reshape:
+
+    - SHT/UBnormal (``flat_sparsity=True``): regressor outputs stay flat
+      [2B*pn*pl, 1] (MIL_CE.py:176), so ``abn_pred = y_pred[batch_size:]``
+      (:40-41) slices the FLAT tensor — the flat-slice quirk, averaging
+      nearly all normal-video snippet scores too.
+    - UCF (``flat_sparsity=False``): outputs are re-viewed to
+      [2B, pn*pl, d] first (MIL_CE.py:174-175), so the same slice selects
+      the abnormal HALF of the batch — the standard MIL sparsity."""
     b2 = snippet_scores.shape[0]
     scores = snippet_scores.reshape(b2, part_num, part_len)
     video = jnp.max(jnp.mean(scores, axis=-1), axis=-1)
-    flat = snippet_scores.reshape(-1)
-    return mil_ranking_loss(video, flat[b2 // 2:], lambda_1)
+    if flat_sparsity:
+        spar_src = snippet_scores.reshape(-1)[b2 // 2:]
+    else:
+        spar_src = snippet_scores[b2 // 2:].reshape(-1)
+    return mil_ranking_loss(video, spar_src, lambda_1)
 
 
 def soft_cross_entropy_on_probs(probs: jnp.ndarray,

@@ -38,7 +38,11 @@ def initialize_multihost(coordinator_address: Optional[str] = None,
     try:
         jax.distributed.initialize(**kwargs)
     except RuntimeError as e:
-        if "already" in str(e).lower():
+        # jax._src.distributed raises "distributed.initialize should only
+        # be called once." on re-entry (message checked against the
+        # installed JAX; "already" kept for other versions)
+        msg = str(e).lower()
+        if "only be called once" in msg or "already" in msg:
             return  # initialized earlier — fine
         raise
     except ValueError as e:
@@ -55,7 +59,11 @@ def make_global_mesh(n_head: int = 8, max_model: int = 4) -> Mesh:
     caps at 4 like factor_devices' default — tp profit saturates at the
     d_model contractions, dp absorbs growth (docs/ARCHITECTURE.md
     'Parallelism')."""
-    devices = np.asarray(jax.devices())
+    # sort by (process, device id): jax.devices() is process-contiguous on
+    # standard pods, but the ICI-locality claim below must not rest on an
+    # unenforced ordering (interleaved orders exist on some topologies)
+    devices = np.asarray(sorted(jax.devices(),
+                                key=lambda dev: (dev.process_index, dev.id)))
     local = jax.local_device_count()
     _, model = factor_devices(local, n_head=n_head, max_model=max_model)
     grid = devices.reshape(-1, model)

@@ -244,13 +244,21 @@ class Trainer:
         if d.dataset == "UCF":
             raise ValueError("UCF has no train-split evaluation "
                              "(set eval_train_split=False)")
+        if not hasattr(self, "_train_masks"):
+            self._train_masks = {}
         items = []
         for r in self.train_records:
             feat = (lambda key=r.key: self._eval_feat(self.store.get(key)))
             anno = None
             if r.is_abnormal:
-                anno = np.load(os.path.join(d.test_mask_dir, r.key + ".npy"),
-                               allow_pickle=True)
+                # cached like the test split's TestVideo.anno: with SHT
+                # defaults fit() evaluates the train split ~1800 times and
+                # must not re-read every mask .npy each time.  Same np.load
+                # semantics as load_test_videos (allow_pickle=False).
+                anno = self._train_masks.get(r.key)
+                if anno is None:
+                    anno = self._train_masks[r.key] = np.load(
+                        os.path.join(d.test_mask_dir, r.key + ".npy"))
             items.append((feat, anno))
         return items
 

@@ -96,6 +96,10 @@ def make_stn_bce_train_step(encoder, head, cfg: TrainConfig, tx):
     n_patch, d = cfg.data.n_patch, cfg.encoder.d_model
     loss_cfg = cfg.loss
     rng_impl = cfg.dropout_rng
+    # the sparsity-slice quirk is dataset-branched in the reference: UCF
+    # re-views outputs to 3-D before get_MIL_loss so the slice takes the
+    # abnormal HALF (MIL_CE.py:173-175); SHT/UBnormal stay flat (:176)
+    flat_sparsity = cfg.data.dataset != "UCF"
 
     def loss_fn(params, feats, clip_labs, rng):
         b2 = feats.shape[0]
@@ -107,7 +111,8 @@ def make_stn_bce_train_step(encoder, head, cfg: TrainConfig, tx):
                             deterministic=False, rngs={"dropout": r2})
         scores = scores.reshape(b2, pn * pl)
         mil, err, spar = coteach_stn_mil_loss(scores, pn, pl,
-                                              loss_cfg.lambda_1)
+                                              loss_cfg.lambda_1,
+                                              flat_sparsity=flat_sparsity)
         part_mean = jnp.mean(scores.reshape(b2, pn, pl), axis=-1)
         bce = weighted_bce(part_mean, clip_labs, loss_cfg.lambda_normal,
                            loss_cfg.lambda_abnormal)

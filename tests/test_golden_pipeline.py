@@ -57,11 +57,14 @@ def _cfg(model, fixture, tmp_path):
 
 # frozen on 2026-08-17 (jax CPU, f32, dropout_rng=rbg); round2 re-frozen when
 # cfg.max_clips started reaching the LTN pseudo generator's binned scorer
-# (this config's max_clips=8 now applies there instead of the default 32)
+# (this config's max_clips=8 now applies there instead of the default 32),
+# then again when the UCF co-teach round gained the reference's abnormal-half
+# sparsity (spatio_transformer_MIL_CE.py:173-175 re-views UCF outputs to 3-D,
+# so only SHT/UBnormal keep the flat-slice quirk there)
 GOLDEN_UCF = {
     "stn_round0": 0.5312555796754156,
     "ltn_round1": 0.5365306243911302,
-    "stn_bce_round2": 0.49769451727389197,
+    "stn_bce_round2": 0.4974313915279775,
 }
 
 GOLDEN_UBNORMAL = 0.43975766206465017

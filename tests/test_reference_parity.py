@@ -191,6 +191,15 @@ def test_losses_match_reference_train_scripts(rng):
     got = [float(v) for v in coteach_stn_mil_loss(y, pn, pl, args.lambda_1)]
     np.testing.assert_allclose(got, want, rtol=1e-6)
 
+    # co-teaching MIL, UCF branch: the call site re-views outputs to
+    # [2B, pn*pl, 1] first (spatio_transformer_MIL_CE.py:173-175), so the
+    # same y_pred[batch_size:] slice selects the abnormal HALF
+    want = [float(v) for v in ref_mil_ce(args, torch.from_numpy(y[..., None]),
+                                         pl)]
+    got = [float(v) for v in coteach_stn_mil_loss(y, pn, pl, args.lambda_1,
+                                                  flat_sparsity=False)]
+    np.testing.assert_allclose(got, want, rtol=1e-6)
+
     # soft CE on already-softmaxed probs
     # (temporal_transformer_shanghaitech.py:21-23)
     logits = rng.standard_normal((2 * bs * pn, 2)).astype(np.float32)
