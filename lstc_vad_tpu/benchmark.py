@@ -117,7 +117,12 @@ def main(retry_wait_s: float = 300.0):
         time.sleep(retry_wait_s)
         os.environ["LSTC_BENCH_RETRY"] = "1"
         sys.stderr.flush()
-        os.execv(sys.executable, [sys.executable] + sys.argv)
+        # sys.argv[0] is __main__.py under 'python -m lstc_vad_tpu', which
+        # cannot be re-run as a top-level script (relative imports) — rebuild
+        # the real interpreter command line instead
+        argv = (list(sys.orig_argv) if getattr(sys, "orig_argv", None)
+                else [sys.executable] + sys.argv)
+        os.execv(argv[0], argv)
 
 
 def _build_apply(cfg):

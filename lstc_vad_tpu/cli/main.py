@@ -170,7 +170,9 @@ def _add_common(p):
     p.add_argument("--seed", type=int)
     p.add_argument("--epochs", type=int)
     p.add_argument("--save-dir", dest="save_dir")
-    p.add_argument("--log-dir", dest="log_dir")
+    p.add_argument("--log-dir", dest="log_dir",
+                   help="write a log file here (train/evaluate/gen-pseudo; "
+                        "other commands report on stderr/stdout only)")
     p.add_argument("--metrics-jsonl", dest="metrics_jsonl",
                    help="append structured per-epoch/eval metrics (one JSON "
                         "line each) to this file")
@@ -279,6 +281,39 @@ def _load_eval_artifact(path: str, cfg, need_len: int):
     return loaded
 
 
+def _check_artifact_tails(loaded, cfg, cmd: str):
+    """No-rewindow LTN paths score tails at their TRUE length: the artifact
+    needs a program per possible tail length (export-aot --tails), checked
+    BEFORE any store walk — a missing tail program would otherwise die
+    mid-run after minutes of scoring."""
+    d = cfg.data
+    if d.dataset == "UCF":
+        # fixed max_clips bins: the one possible tail length is known
+        tails = {(cfg.max_clips % d.part_len) * d.n_patch} - {0}
+    else:
+        tails = set(range(d.n_patch, _eval_token_len(cfg), d.n_patch))
+    missing = sorted(tails - set(loaded.token_lens))
+    if missing:
+        msg = (f"artifact lacks programs for tail parts of "
+               f"{missing} tokens; re-export with --tails")
+        if d.dataset == "UCF":
+            # max_clips % part_len != 0: a tail part ALWAYS occurs
+            raise SystemExit(msg)
+        print(f"[{cmd}] warning: {msg} — videos whose clip count is not a "
+              "part_len multiple will fail", file=sys.stderr)
+
+
+def _warn_if_random_init(args, cmd: str):
+    """evaluate/gen-pseudo with no checkpoint flags score fresh random-init
+    params — legitimate only for smoke tests, so say so loudly (a silent
+    'auc = 0.5x' or a garbage pseudo-label artifact poisoning the next
+    co-teaching round looks real otherwise)."""
+    if not (getattr(args, "ckpt", None) or args.torch_ckpt
+            or args.encoder_ckpt or args.head_ckpt):
+        print(f"[{cmd}] no --ckpt/--torch-ckpt/--artifact: scoring with "
+              "fresh RANDOM-INIT params (smoke-test mode)", file=sys.stderr)
+
+
 def _wrap_artifact(scorer, loaded, expect_l2: bool):
     """Slot the artifact's serialized programs into a scorer's inner
     VideoScorer (evaluation/scoring.py::ArtifactVideoScorer)."""
@@ -360,6 +395,14 @@ def cmd_gen_pseudo(args):
 
     if args.threshold is None:
         args.threshold = 0.9 if args.kind == "stn" else 0.65
+    if (args.kind == "stn") != cfg.model.startswith("stn"):
+        # the scorer kind keys the artifact token-length fail-fast AND the
+        # scorer construction below off the preset's shapes: a mismatch
+        # passes the pre-checks against the wrong length and dies mid-run
+        raise SystemExit(
+            f"--kind {args.kind} does not match the preset's model "
+            f"{cfg.model!r} — pseudo labels are generated with the preset's "
+            "encoder/head (pick the matching preset)")
     mesh = _mesh_from_args(args, cfg.encoder.n_head)
     loaded_artifact = None
     if getattr(args, "artifact", None):
@@ -373,8 +416,11 @@ def cmd_gen_pseudo(args):
                              "partitioning — drop one")
         loaded_artifact = _load_eval_artifact(args.artifact, cfg,
                                               _eval_token_len(cfg))
-    trainer = Trainer(cfg, eval_only=True, mesh=mesh)
+    logger = get_logger("gen-pseudo", log_dir=args.log_dir) \
+        if args.log_dir else None
+    trainer = Trainer(cfg, eval_only=True, mesh=mesh, logger=logger)
     if loaded_artifact is None:
+        _warn_if_random_init(args, "gen-pseudo")
         trainer = _load_params(args, trainer)
     d = cfg.data
     store = trainer.store
@@ -413,25 +459,7 @@ def cmd_gen_pseudo(args):
                                 sharding=trainer.sharding,
                                 transfer_dtype=d.eval_transfer_dtype)
         if loaded_artifact is not None:
-            # no-rewindow paths score tails at their true length: the
-            # artifact needs a program per tail length (export-aot --tails),
-            # checked BEFORE the store walk starts — a missing tail would
-            # otherwise die mid-run after minutes of scoring
-            if d.dataset == "UCF":
-                # fixed max_clips bins: the one possible tail length is known
-                tails = {(cfg.max_clips % d.part_len) * d.n_patch} - {0}
-            else:
-                tails = set(range(d.n_patch, _eval_token_len(cfg), d.n_patch))
-            missing = sorted(tails - set(loaded_artifact.token_lens))
-            if missing:
-                msg = (f"artifact lacks programs for tail parts of "
-                       f"{missing} tokens; re-export with --tails")
-                if d.dataset == "UCF":
-                    # max_clips % part_len != 0: a tail part ALWAYS occurs
-                    raise SystemExit(msg)
-                print(f"[gen-pseudo] warning: {msg} — videos whose clip "
-                      "count is not a part_len multiple will fail",
-                      file=sys.stderr)
+            _check_artifact_tails(loaded_artifact, cfg, "gen-pseudo")
             scorer = _wrap_artifact(scorer, loaded_artifact, expect_l2=False)
         pseudo = generate_ltn_pseudo_labels(trainer.state.params, scorer,
                                             store, records,
@@ -474,7 +502,9 @@ def cmd_evaluate(args):
     if mesh is not None and args.artifact:
         raise SystemExit("--mesh shards the live flax scorer; AOT artifacts "
                          "run their own serialized partitioning — drop one")
-    trainer = Trainer(cfg, eval_only=True, mesh=mesh)
+    logger = get_logger("evaluate", log_dir=args.log_dir) \
+        if args.log_dir else None
+    trainer = Trainer(cfg, eval_only=True, mesh=mesh, logger=logger)
     loaded_artifact = None
     if args.artifact:
         if args.torch_ckpt or args.ckpt or args.encoder_ckpt \
@@ -486,9 +516,15 @@ def cmd_evaluate(args):
         # UCF LTN final eval ONLY uses ucf_final_scorer() (l2 baked in);
         # every other path scores through the Trainer's scorer (no l2)
         if cfg.data.dataset != "UCF" or cfg.model.startswith("stn"):
+            if not cfg.model.startswith("stn") \
+                    and not cfg.eval_tail_rewindow:
+                # no-rewindow LTN eval scores tails at true length — same
+                # fail-fast gen-pseudo has, before minutes of scoring
+                _check_artifact_tails(loaded_artifact, cfg, "evaluate")
             trainer.scorer = _wrap_artifact(trainer.scorer, loaded_artifact,
                                             expect_l2=False)
     else:
+        _warn_if_random_init(args, "evaluate")
         trainer = _load_params(args, trainer)
     params = trainer.state.params
     d = cfg.data
@@ -898,19 +934,24 @@ def cmd_serve(args):
                 or args.head_ckpt:
             raise SystemExit("--artifact already contains the params — drop "
                              "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
+        # the artifact's OWN baked part_len wins (export-aot records it; a
+        # preset override would recompute n_patch and silently truncate
+        # every pushed clip); only pre-part_len-meta artifacts fall back to
+        # the preset windowing.  meta.json is read up front — loading the
+        # artifact twice would deserialize every program and the params.npz
+        # a second time just to learn the part_len.
+        import json as _json
+        import os
+
+        baked = None
         try:
-            # the artifact's OWN baked part_len wins (export-aot records it;
-            # a preset override would recompute n_patch and silently
-            # truncate every pushed clip)
-            scorer = StreamingScorer.from_artifact(
-                args.artifact, max_streams=args.max_streams)
-        except ValueError as e:
-            if "no part_len" not in str(e):
-                raise
-            # pre-part_len-meta artifact: fall back to the preset windowing
-            scorer = StreamingScorer.from_artifact(
-                args.artifact, max_streams=args.max_streams,
-                part_len=part_len)
+            with open(os.path.join(args.artifact, "meta.json")) as f:
+                baked = _json.load(f).get("part_len")
+        except (OSError, ValueError):
+            pass  # missing/corrupt meta: from_artifact raises the real error
+        scorer = StreamingScorer.from_artifact(
+            args.artifact, max_streams=args.max_streams,
+            part_len=part_len if baked is None else None)
     else:
         from ..train.state import create_train_state
 

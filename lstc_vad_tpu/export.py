@@ -85,8 +85,11 @@ def export_scorer(encoder, head, kind: str, params, token_len: int,
     fn = _scorer_fn(encoder, head, kind, l2_normalize)
     (b,) = jax.export.symbolic_shape("b")
     x_spec = jax.ShapeDtypeStruct((b, token_len, d_model), np.float32)
+    # shape/dtype only — never np.asarray(a), which would fetch the whole
+    # param tree device->host once per exported token length
     p_spec = jax.tree.map(
-        lambda a: jax.ShapeDtypeStruct(np.shape(a), np.asarray(a).dtype),
+        lambda a: jax.ShapeDtypeStruct(
+            np.shape(a), getattr(a, "dtype", None) or np.asarray(a).dtype),
         params)
     return jax.export.export(jax.jit(fn), platforms=list(platforms))(
         p_spec, x_spec)

@@ -1,6 +1,7 @@
 """CLI smoke: train / gen-pseudo / evaluate subcommands on fixture data."""
 
 import numpy as np
+import pytest
 
 from lstc_vad_tpu.cli.main import main
 
@@ -855,3 +856,52 @@ def test_cli_serve_stn_single_clip(capsys, monkeypatch):
     # part_len=1: flush 1 drains clip 0, flush 2 clip 1, flush 3 clip 2
     assert len(scores) == 3
     assert all(0.0 <= s <= 1.0 for s in scores)  # sigmoid regressor range
+
+
+def test_gen_pseudo_kind_preset_mismatch_fails_fast(tmp_path):
+    """--kind must match the preset's model: the artifact fail-fast and the
+    scorer shapes key off the preset, so a mismatch would pass pre-checks
+    against the wrong token length and die mid-run."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    with pytest.raises(SystemExit, match="does not match the preset"):
+        main(["gen-pseudo", "--preset", "sht_stn", "--kind", "ltn",
+              "--out", str(tmp_path / "p.npy")] + _common(fixture))
+
+
+def test_evaluate_and_gen_pseudo_warn_on_random_init(tmp_path, capsys):
+    """Scoring with no checkpoint flags is smoke-test-only: both commands
+    must say so on stderr (a silent 'auc = 0.5x' or a garbage pseudo-label
+    artifact looks legitimate otherwise)."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    rc = main(["evaluate", "--preset", "sht_ltn"] + _common(fixture))
+    assert rc == 0
+    assert "RANDOM-INIT" in capsys.readouterr().err
+
+    rc = main(["gen-pseudo", "--preset", "sht_stn", "--kind", "stn",
+               "--out", str(tmp_path / "p.npy")] + _common(fixture))
+    assert rc == 0
+    assert "RANDOM-INIT" in capsys.readouterr().err
+
+
+def test_evaluate_no_rewindow_artifact_tail_precheck(tmp_path, capsys):
+    """evaluate --artifact with eval_tail_rewindow=false warns up front when
+    the artifact lacks tail programs (same fail-fast gen-pseudo has) —
+    BEFORE the store walk reaches the short tail that then fails."""
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    state_dir = str(tmp_path / "state")
+    rc = main(["train", "--preset", "sht_ltn", "--epochs", "1",
+               "--save-state", state_dir,
+               "--set", "loss.temporal_only=true"] + common)
+    assert rc == 0
+    art = str(tmp_path / "artifact")
+    rc = main(["export-aot", "--preset", "sht_ltn", "--ckpt", state_dir,
+               "--out", art, "--platforms", "cpu"] + common)  # no --tails
+    assert rc == 0
+    with pytest.raises(ValueError):  # a short tail does occur mid-run
+        main(["evaluate", "--preset", "sht_ltn", "--artifact", art,
+              "--set", "eval_tail_rewindow=false"] + common)
+    assert "lacks programs for tail parts" in capsys.readouterr().err
