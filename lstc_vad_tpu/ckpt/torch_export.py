@@ -7,10 +7,18 @@ the reference can train here and evaluate there, or vice versa.
 
 Key mapping is the exact inverse of torch_import (flax Dense kernels are
 [in, out]; torch Linear weights are [out, in] -> transpose back).  When an
-``EncoderConfig`` is supplied and the encoder uses a relative position bias,
-the ``relative_position_index`` buffer the reference registers persistently
-(models/MultiHeadAttention.py:55-74) is recomputed and emitted too, so even a
-``strict=True`` torch load succeeds.
+``EncoderConfig`` is supplied, everything the reference registers
+UNCONDITIONALLY but our flax modules gate on flags is emitted too, so even a
+``strict=True`` torch load succeeds:
+
+- the ``relative_position_index`` buffer (models/MultiHeadAttention.py:55-74);
+- identity LayerNorm weights for ``layer_norm`` at the Encoder top
+  (models/Encoder.py:32), per-layer MHA (MultiHeadAttention.py:47) and FFN
+  (FFN.py:10) — the reference creates these modules always and only gates
+  their *use* on the flags, so a flag-off export must still carry the keys
+  (identity values: the reference never calls them under the same flags);
+- zero-filled ``pos_ffn`` Linears when ``ffn_need=False`` (EncoderLayer.py:15
+  registers the FFN regardless; its params are unused at runtime).
 """
 
 from __future__ import annotations
@@ -65,7 +73,34 @@ def export_encoder(enc_params: dict,
                             sd[key + ".bias"] = _np(leaf["bias"])
         else:
             raise ValueError(f"unknown encoder param {name!r}")
+    if cfg is not None:
+        _fill_unconditional_modules(sd, cfg)
     return sd
+
+
+def _fill_unconditional_modules(sd: Dict[str, np.ndarray],
+                                cfg: EncoderConfig):
+    """Emit the keys the reference registers regardless of flags (see module
+    docstring) with identity/zero values, so strict=True loads succeed for
+    flag-off configs too."""
+    d, h = cfg.d_model, cfg.d_inner
+
+    def fill(key: str, arr: np.ndarray):
+        sd.setdefault(key, arr)
+
+    fill("layer_norm.weight", np.ones(d, np.float32))
+    fill("layer_norm.bias", np.zeros(d, np.float32))
+    for i in range(cfg.n_layers):
+        p = f"layer_stack.{i}."
+        fill(p + "slf_attn.layer_norm.weight", np.ones(d, np.float32))
+        fill(p + "slf_attn.layer_norm.bias", np.zeros(d, np.float32))
+        fill(p + "pos_ffn.layer_norm.weight", np.ones(d, np.float32))
+        fill(p + "pos_ffn.layer_norm.bias", np.zeros(d, np.float32))
+        # unused when ffn_need=False, but registered by the reference
+        fill(p + "pos_ffn.w_1.weight", np.zeros((h, d), np.float32))
+        fill(p + "pos_ffn.w_1.bias", np.zeros(h, np.float32))
+        fill(p + "pos_ffn.w_2.weight", np.zeros((d, h), np.float32))
+        fill(p + "pos_ffn.w_2.bias", np.zeros(d, np.float32))
 
 
 def export_head(head_params: dict, kind: str) -> Dict[str, np.ndarray]:

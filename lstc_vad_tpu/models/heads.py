@@ -44,6 +44,16 @@ class _MLPHead(nn.Module):
         return x
 
 
+def _check_width(x, d_model: int):
+    """The reference heads' first Linear has in_features=d_model
+    (models/Regressor.py:7, models/Classifier.py:8) and errors on a width
+    mismatch; flax Dense would silently shape-infer instead — enforce the
+    declared width so the field is load-bearing, not decorative."""
+    if x.shape[-1] != d_model:
+        raise ValueError(f"head configured for d_model={d_model} got input "
+                         f"width {x.shape[-1]}")
+
+
 class Regressor(nn.Module):
     d_model: int = 2048
     hidden_dim: int = 512
@@ -52,6 +62,7 @@ class Regressor(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        _check_width(x, self.d_model)
         x = _MLPHead((self.hidden_dim, 32, 1), self.dropout, self.weight_init,
                      name="mlp")(x, deterministic=deterministic)
         return jax.nn.sigmoid(x)
@@ -65,6 +76,7 @@ class Classifier(nn.Module):
 
     @nn.compact
     def __call__(self, x, *, deterministic: bool = True):
+        _check_width(x, self.d_model)
         x = _MLPHead((self.hidden_dim, 32, 2), self.dropout, self.weight_init,
                      name="mlp")(x, deterministic=deterministic)
         return jax.nn.softmax(x, axis=-1)

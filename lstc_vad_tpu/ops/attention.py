@@ -13,7 +13,9 @@ Two implementations:
               parity reference.
 - ``pallas``: fused TPU kernel (ops/pallas_attention.py) that keeps the
               [L, L] attention matrix in VMEM — never materialized in HBM.
-              Selected on TPU by impl="auto" for the no-dropout path.
+              OPT-IN only (impl="pallas"): measured slower than XLA at this
+              model's sequence lengths (L<=81), so impl="auto" resolves to
+              xla — see the measurement note in sdpa().
 
 Shapes: q, k, v: [B, H, L, D]; bias: [H, L, L] broadcast over batch;
 mask: broadcastable to [B, H, L, L], nonzero = keep.
@@ -57,6 +59,11 @@ def sdpa(q: jnp.ndarray, k: jnp.ndarray, v: jnp.ndarray,
          impl: str = "auto",
          return_probs: bool = False):
     """Dispatching SDPA. ``impl``: "auto" | "xla" | "pallas"."""
+    if impl not in ("auto", "xla", "pallas"):
+        # a typo'd config knob must not silently run the XLA path while the
+        # user believes they are exercising the Pallas kernel
+        raise ValueError(f"unknown attention impl {impl!r}; "
+                         "expected 'auto', 'xla' or 'pallas'")
     if impl == "auto":
         # Measured on v5e (f32, B=256-1024, H=8, D=256): XLA's batched-gemm +
         # fusion beats the fused Pallas kernel at these sequence lengths

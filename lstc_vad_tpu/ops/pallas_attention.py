@@ -141,13 +141,11 @@ def _forward(q, k, v, bias, temperature, interpret):
 
 
 def _xla_reference(q, k, v, bias, temperature):
-    attn = jnp.einsum("bhld,bhmd->bhlm", q / temperature, k,
-                      preferred_element_type=jnp.float32)
-    if bias is not None:
-        attn = attn + bias[None].astype(attn.dtype)
-    probs = jax.nn.softmax(attn, axis=-1)
-    return jnp.einsum("bhlm,bhmd->bhld", probs.astype(v.dtype), v,
-                      preferred_element_type=jnp.float32).astype(v.dtype)
+    # the ONE source of SDPA math: a fix to the XLA path must not silently
+    # diverge this kernel's backward pass (custom_vjp residual fn) from it
+    from .attention import _xla_sdpa
+
+    return _xla_sdpa(q, k, v, bias, None, temperature, 0.0, None)
 
 
 def _fwd(q, k, v, bias, temperature, interpret):

@@ -17,6 +17,8 @@ def get_logger(name: str = "lstc", log_dir: Optional[str] = None,
     logger = logging.getLogger(name)
     logger.setLevel(level)
     logger.propagate = False
+    for h in logger.handlers:
+        h.close()  # reconfiguration must not leak the old FileHandler's fd
     logger.handlers.clear()
     fmt = logging.Formatter("[%(asctime)s] %(message)s")
     sh = logging.StreamHandler()

@@ -189,3 +189,18 @@ def test_remat_bit_identical_to_plain():
     _, probs = enc_r.apply({"params": params}, x, deterministic=True,
                            return_probs=True)
     assert len(probs) == 2
+
+
+def test_head_rejects_wrong_input_width():
+    """The head's d_model is load-bearing like the reference's first Linear
+    (models/Regressor.py:7): a width mismatch raises instead of silently
+    shape-inferring a different module."""
+    import jax
+    import numpy as np
+    import pytest
+
+    from lstc_vad_tpu.models import make_head
+
+    head = make_head("regressor", 32)
+    with pytest.raises(ValueError, match="d_model=32 got input width 16"):
+        head.init(jax.random.PRNGKey(0), np.zeros((2, 16), np.float32))

@@ -78,3 +78,15 @@ def test_encoder_with_pallas_impl_matches_xla(rng):
     out_p = m_p.apply(params, x, deterministic=True)
     np.testing.assert_allclose(np.asarray(out_p), np.asarray(out_x),
                                rtol=2e-5, atol=2e-5)
+
+
+def test_sdpa_rejects_unknown_impl(rng):
+    """A typo'd attn_impl must raise, never silently run the XLA path while
+    the user believes they are exercising the Pallas kernel."""
+    import pytest
+
+    from lstc_vad_tpu.ops.attention import sdpa
+
+    q = rng.standard_normal((1, 2, 4, 8)).astype("float32")
+    with pytest.raises(ValueError, match="unknown attention impl"):
+        sdpa(q, q, q, temperature=2.0, impl="Pallas")

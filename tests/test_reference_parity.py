@@ -629,3 +629,34 @@ def test_genuine_ubnormal_eval_script_matches(
     theirs = float([ln for ln in out.splitlines()
                     if "auc = " in ln][-1].split("=")[-1])
     assert ours == pytest.approx(theirs, abs=1e-3), (ours, theirs)
+
+
+def test_export_strict_loads_with_flags_off(ref_models, rng):
+    """The reference registers layer_norm (Encoder.py:32, MHA:47, FFN:10)
+    and pos_ffn (EncoderLayer.py:15) UNCONDITIONALLY — it only gates their
+    USE on the flags.  An export from a flags-off flax config must still
+    strict-load (identity LN / zero FFN fills) and forward-match."""
+    RefEncoder, _, _ = ref_models
+    cfg = EncoderConfig(d_model=32, d_inner=48, n_head=2, d_k=8, d_v=8,
+                        n_layers=2, mha_layernorm=False, ffn_layernorm=False,
+                        input_layernorm=False, ffn_need=False,
+                        relative_pe=False, cls_learned=False,
+                        position_encoding=False, attn_impl="xla")
+    enc = Encoder(cfg)
+    x = rng.standard_normal((3, 7, 32)).astype(np.float32)
+    params = jax.tree.map(np.asarray,
+                          enc.init(jax.random.PRNGKey(0), x))["params"]
+    sd = {k: torch.from_numpy(np.array(v))
+          for k, v in export_encoder(params, cfg).items()}
+
+    ref = RefEncoder(n_layers=2, n_head=2, d_k=8, d_v=8, d_model=32,
+                     d_inner=48, MHA_layerNorm=False, FFN_layerNorm=False,
+                     weight_init=False, CLS_learned=False,
+                     position_encoding=False, relative_pe=False,
+                     input_layerNorm=False, FFN_need=False)
+    ref.load_state_dict(sd, strict=True)  # incl. the unconditional modules
+    ref.eval()
+    with torch.no_grad():
+        theirs = ref(torch.from_numpy(x)).numpy()
+    ours = np.asarray(enc.apply({"params": params}, x, deterministic=True))
+    np.testing.assert_allclose(ours, theirs, rtol=2e-4, atol=1e-4)
