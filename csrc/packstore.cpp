@@ -75,6 +75,8 @@ enum {
   PS_ERR_HEADER = 2,    // too small for a header, or bad magic
   PS_ERR_INDEX = 3,     // index walk runs past the end of the file
   PS_ERR_EXTENT = 4,    // a payload extent overflows or exceeds the file
+  PS_ERR_DUPKEY = 5,    // the same key indexed twice (readers would disagree
+                        // on which entry wins -> caller buffer overflow)
 };
 
 void* ps_open_checked(const char* path, int32_t* err) {
@@ -129,7 +131,8 @@ void* ps_open_checked(const char* path, int32_t* err) {
     uint64_t bytes = rows * e.d_model * 4;
     if (e.offset > ps->size || bytes > ps->size - e.offset)
       return fail(PS_ERR_EXTENT);
-    ps->index.emplace(std::move(key), e);
+    if (!ps->index.emplace(std::move(key), e).second)
+      return fail(PS_ERR_DUPKEY);
   }
   *err = PS_OK;
   return ps;

@@ -132,7 +132,8 @@ def _build_apply(cfg):
     from lstc_vad_tpu.models import Encoder, make_head
 
     encoder = Encoder(cfg.encoder)
-    head = make_head(cfg.head.kind, cfg.head.d_model)
+    head = make_head(cfg.head.kind, cfg.head.d_model,
+                     cfg.head.hidden_dim)
     d = cfg.encoder.d_model
     seq = (cfg.data.n_patch if cfg.model.startswith("stn")
            else cfg.data.part_len * cfg.data.n_patch)

@@ -43,11 +43,16 @@ def write_pack(path: str, videos: Iterable[Tuple[str, np.ndarray]]):
         f.write(MAGIC)
         f.write(struct.pack("<I", 0))   # n_videos placeholder
         f.write(struct.pack("<Q", 0))   # index_offset placeholder
+        seen = set()
         for key, feat in videos:
             feat = np.ascontiguousarray(feat, dtype=np.float32)
             if feat.ndim != 3:
                 raise ValueError(f"{key}: expected 3-D [clips, patch, d], "
                                  f"got {feat.shape}")
+            if key in seen:
+                raise ValueError(f"duplicate key {key!r} (readers reject "
+                                 "duplicate-key packs)")
+            seen.add(key)
             pad = (-f.tell()) % _ALIGN
             f.write(b"\0" * pad)
             index.append((key, f.tell()) + feat.shape)
@@ -184,6 +189,12 @@ class _NumpyPack:
                 raise PackFormatError(
                     f"{path}: entry {key!r} extent [{offset}, "
                     f"{offset + nbytes}) beyond file size {size}")
+            if key in self.index:
+                # both readers must agree which entry wins; the native map
+                # keeps the first, a dict would keep the last — a shape
+                # disagreement there is a caller-buffer overflow in ps_get
+                raise PackFormatError(f"{path}: duplicate key {key!r} "
+                                      f"at index entry {i}")
             self.index[key] = (offset, n_clips, n_patch, d_model)
 
     def shape(self, key):

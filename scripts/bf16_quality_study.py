@@ -203,14 +203,21 @@ def run_tpu_convergence(epochs: int = EPOCHS, dtypes=("float32", "bfloat16"),
                       "final_test_auc": result.history[-1]["auc_test"],
                       "auc_curve": [round(h["auc_test"], 5)
                                     for h in result.history],
-                      "final_loss": round(result.history[-1].get("loss",
-                                                                 float("nan")),
-                                          5),
+                      # None, not NaN: json.dumps would emit a bare NaN
+                      # token strict JSONL consumers reject
+                      "final_loss": (round(result.history[-1]["loss"], 5)
+                                     if "loss" in result.history[-1]
+                                     else None),
                       "wall_s": round(time.time() - t0, 1)})
 
 
 if __name__ == "__main__":
     part = sys.argv[1] if len(sys.argv) > 1 else "all"
+    if part not in ("cpu-golden", "tpu-convergence", "all"):
+        # a typo'd part must not be a silent no-op exiting 0 — a driver
+        # loop isolating arms per process would believe the arm completed
+        raise SystemExit(f"unknown part {part!r}: expected 'cpu-golden', "
+                         "'tpu-convergence' or 'all'")
     if part in ("cpu-golden", "all"):
         run_cpu_golden()
     if part in ("tpu-convergence", "all"):

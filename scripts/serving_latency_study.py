@@ -4,8 +4,8 @@ Measures ``serving.StreamingScorer`` on the real TPU at flagship SHT LTN
 dims (d_model 2048, part_len 3, n_patch 16 -> 48-token parts) for
 S ∈ {1, 16, 64} concurrent streams: each round pushes one full part per
 stream, then one ``flush()`` scores the round.  Reports per-flush latency
-(p50 / p99) and sustained parts/s, plus the same sweep through
-``end_streams`` grouping is NOT measured (it reuses the flush program).
+(p50 / p99) and sustained parts/s.  ``end_streams`` is not separately
+measured: it dispatches through the same compiled flush program.
 
 The flush dispatches every ``max_streams`` group before fetching any
 result (transfer overlaps compute — the async dispatch added round 4), so
@@ -40,7 +40,8 @@ def measure(n_streams: int, max_streams: int, n_flushes: int = 200):
     d = cfg.encoder.d_model
     part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
     encoder = Encoder(cfg.encoder)
-    head = make_head(cfg.head.kind, cfg.head.d_model)
+    head = make_head(cfg.head.kind, cfg.head.d_model,
+                     cfg.head.hidden_dim)
     rng = np.random.default_rng(0)
     params = {
         "encoder": encoder.init(
@@ -77,8 +78,10 @@ def measure(n_streams: int, max_streams: int, n_flushes: int = 200):
         "n_flushes": n_flushes,
         "parts_per_sec": round(n_streams * n_flushes / total, 1),
         "flush_p50_ms": round(float(lat_ms[len(lat_ms) // 2]), 2),
+        # nearest-rank p99: ceil(0.99*n)-1 (int(n*0.99) selects one rank
+        # higher — ~p99.5 at n=200)
         "flush_p99_ms": round(
-            float(lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]), 2),
+            float(lat_ms[max(0, int(np.ceil(len(lat_ms) * 0.99)) - 1)]), 2),
         "flush_mean_ms": round(float(lat_ms.mean()), 2),
     }
     with open(OUT, "a") as f:

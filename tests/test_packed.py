@@ -390,3 +390,35 @@ def test_tencrop_n_clips_total_size_based(tmp_path):
         assert store.get(key).shape == (n, 10, p, d)
         assert store.get(key, crop=3).shape == (n, p, d)
     store.close()
+
+
+def test_duplicate_key_pack_rejected(tmp_path, rng):
+    """Readers must agree which entry wins for a key; they don't (native
+    map keeps the first, a dict the last), so a duplicate-key pack — which
+    write_pack also refuses to produce — is rejected at open in BOTH
+    readers, never a shape disagreement that overflows a caller buffer."""
+    feat_a = rng.standard_normal((9, 4, 8)).astype(np.float32)
+    feat_b = rng.standard_normal((2, 4, 8)).astype(np.float32)
+    path = str(tmp_path / "dup.lstcpack")
+    with pytest.raises(ValueError, match="duplicate key"):
+        write_pack(path, [("v", feat_a), ("v", feat_b)])
+
+    # forge one anyway: write two distinct keys of equal length, then patch
+    # the second key's bytes in the index to collide with the first
+    write_pack(path, [("va", feat_a), ("vb", feat_b)])
+    raw = bytearray(open(path, "rb").read())
+    idx = raw.index(b"vb")
+    raw[idx:idx + 2] = b"va"
+    open(path, "wb").write(bytes(raw))
+    with pytest.raises(PackFormatError, match="duplicate key"):
+        PackedStore(path)
+
+    if ensure_native(rebuild=True):
+        # the native validator rejects it too (numpy layer bypassed)
+        import ctypes
+
+        from lstc_vad_tpu.data.packed import _load_lib
+        lib = _load_lib()
+        err = ctypes.c_int32(0)
+        handle = lib.ps_open_checked(path.encode(), ctypes.byref(err))
+        assert not handle and err.value == 5  # PS_ERR_DUPKEY
