@@ -18,7 +18,7 @@ def make_sht_like(root, n_normal=4, n_abnormal=3, n_clips=(12, 30), n_patch=4,
     mask_dir = os.path.join(root, "masks")
     os.makedirs(mask_dir, exist_ok=True)
 
-    keys, labels = [], []
+    keys, labels, clip_counts = [], [], []
     with h5py.File(h5_path, "w") as h5:
         for i in range(n_normal + n_abnormal):
             key = f"{'01' if i < n_normal else '02'}_{i:03d}"
@@ -32,6 +32,7 @@ def make_sht_like(root, n_normal=4, n_abnormal=3, n_clips=(12, 30), n_patch=4,
             h5[key + ".npy"] = rng.standard_normal(shape).astype(np.float32)
             keys.append(key)
             labels.append(int(abnormal))
+            clip_counts.append(shape[0])  # stored rows (clips*10 tenCrop)
             if abnormal:
                 mask = (rng.random(clips * 16) < 0.4).astype(np.float64)
                 np.save(os.path.join(mask_dir, key + ".npy"), mask)
@@ -40,9 +41,7 @@ def make_sht_like(root, n_normal=4, n_abnormal=3, n_clips=(12, 30), n_patch=4,
         for k, lab in zip(keys, labels):
             f.write(f"{k},{lab}\n")
     with open(test_txt, "w") as f:
-        for k, lab in zip(keys, labels):
-            with h5py.File(h5_path, "r") as h5:
-                clips = h5[k + ".npy"].shape[0]
+        for k, lab, clips in zip(keys, labels, clip_counts):
             n_frames = -1 if lab else clips * 16
             f.write(f"{k},{lab},{n_frames}\n")
     return h5_path, train_txt, test_txt, mask_dir

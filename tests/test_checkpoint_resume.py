@@ -199,8 +199,9 @@ def test_failed_async_save_does_not_wedge(tmp_path):
         with pytest.raises(OSError):
             orbax_io.wait_for_saves()
     finally:
-        if orbax_io._ASYNC_CKPTR is not None and saved is not None:
-            orbax_io._ASYNC_CKPTR = saved
+        # unconditional: if the raise regression-fails, the FailingCkptr
+        # must still never leak into later tests' async saves
+        orbax_io._ASYNC_CKPTR = saved
     assert orbax_io._PENDING == []  # dead entry dropped, machinery clean
 
     out = load_checkpoint(p, target)  # incomplete .next never promoted

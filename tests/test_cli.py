@@ -112,7 +112,6 @@ def test_cli_export_aot(tmp_path, capsys):
     assert from_ckpt and from_ckpt == from_artifact
 
     # artifact + ckpt flags conflict
-    import pytest
     with pytest.raises(SystemExit, match="already contains the params"):
         main(["evaluate", "--preset", "sht_stn", "--artifact", art,
               "--ckpt", state_dir] + common)
@@ -241,7 +240,6 @@ def test_cli_gen_pseudo_from_orbax_ckpt(tmp_path, capsys):
 
 
 def test_cli_rejects_torch_flags_without_marker(tmp_path):
-    import pytest
     fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16)
     common = _common(fixture)
     with pytest.raises(SystemExit):
@@ -274,7 +272,6 @@ def test_cli_evaluate_dump_scores(tmp_path, capsys):
 
 
 def test_cli_coerce_rejects_unknown_path_and_bad_type():
-    import pytest
     from lstc_vad_tpu.cli.main import _coerce
     from lstc_vad_tpu.config import preset
 
@@ -356,7 +353,6 @@ def test_cli_evaluate_per_class_ucf(tmp_path, capsys):
 
 
 def test_cli_per_class_rejected_for_stn(tmp_path):
-    import pytest
     fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16)
     with pytest.raises(SystemExit, match="per-anomaly-class"):
         main(["evaluate", "--preset", "sht_stn", "--per-class"]
@@ -364,7 +360,6 @@ def test_cli_per_class_rejected_for_stn(tmp_path):
 
 
 def test_cli_eval_crop_validation_and_dump_scores_conflict(tmp_path):
-    import pytest
     fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
                             ten_crop=True)
     common = _common(fixture) + ["--set", "data.ten_crop=true"]
@@ -453,7 +448,6 @@ def test_cli_export_aot_ucf_final_eval_shapes(tmp_path, capsys):
 
 def test_cli_evaluate_artifact_shape_guards(tmp_path):
     """Wrong-shape artifacts die upfront with a SystemExit, not mid-eval."""
-    import pytest
 
     fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
                             n_clips=(14, 30))
@@ -463,11 +457,11 @@ def test_cli_evaluate_artifact_shape_guards(tmp_path):
                "--save-state", state_dir, "--set",
                "loss.temporal_only=true"] + common)
     assert rc == 0
-    # artifact exported at part_len=2 shapes (8 tokens), preset needs 12
+    # artifact exported at part_len=3 shapes (12 tokens, no tail programs);
+    # the part_len=1 eval override below needs a 4-token program it lacks
     art = str(tmp_path / "artifact")
     rc = main(["export-aot", "--preset", "sht_ltn", "--ckpt", state_dir,
-               "--out", art, "--platforms", "cpu", "--set",
-               "data.part_len=3"] + common)
+               "--out", art, "--platforms", "cpu"] + common)
     assert rc == 0
     with pytest.raises(SystemExit, match="no program for 4-token"):
         # the part_len=1 override must come after common's part_len=3
@@ -502,7 +496,6 @@ def test_cli_mesh_train_and_evaluate(tmp_path, capsys):
     assert rc == 0
     assert len(np.load(out, allow_pickle=True).tolist()) == 7
 
-    import pytest
     with pytest.raises(SystemExit, match="must divide the head count"):
         main(["evaluate", "--preset", "sht_ltn", "--mesh", "2x3"] + common)
 
@@ -528,7 +521,6 @@ def test_cli_sweep(tmp_path, capsys):
     text = capsys.readouterr().out
     assert "rank  gate_auc  test_auc  overrides" in text
 
-    import pytest
     with pytest.raises(SystemExit, match="at least one --grid"):
         main(["sweep", "--preset", "sht_stn", "--epochs", "1"] + common)
 
@@ -551,7 +543,6 @@ def test_cli_evaluate_bootstrap_ci(tmp_path, capsys):
 
 
 def test_cli_bootstrap_and_grid_validation(tmp_path):
-    import pytest
 
     fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
                             n_clips=(14, 30))
@@ -687,7 +678,6 @@ def test_cli_gen_pseudo_ucf_artifact_train_shapes(tmp_path):
     part shapes (part_len=3), not the final-eval override (part_len=2):
     export-aot --train-shapes produces it, and the artifact path matches the
     ckpt path dict-identically.  Mismatched artifacts die up front."""
-    import pytest
 
     from fixtures import make_ucf_like
 
@@ -828,7 +818,6 @@ def test_cli_serve(tmp_path, capsys, monkeypatch):
 
 
 def test_cli_serve_validation(tmp_path):
-    import pytest
 
     with pytest.raises(SystemExit, match="--artifact already contains"):
         main(["serve", "--preset", "sht_ltn", "--artifact",
@@ -853,7 +842,8 @@ def test_cli_serve_stn_single_clip(capsys, monkeypatch):
     assert rc == 0
     replies = [json.loads(ln) for ln in capsys.readouterr().out.splitlines()]
     scores = [r["score"] for r in replies if "score" in r]
-    # part_len=1: flush 1 drains clip 0, flush 2 clip 1, flush 3 clip 2
+    # part_len=1: serve_jsonl's flush drains the whole backlog, so the
+    # first flush emits all 3 clip scores and the later two emit none
     assert len(scores) == 3
     assert all(0.0 <= s <= 1.0 for s in scores)  # sigmoid regressor range
 

@@ -188,7 +188,10 @@ def test_load_test_videos_sht(tmp_path):
     assert len(vids) == 7
     for v in vids:
         if v.is_abnormal:
-            assert v.anno.max() >= 0  # mask loaded
+            # the fixture writes Bernoulli(0.4) 0/1 masks over >=190 frames:
+            # a real mask has both classes and covers every clip's frames
+            assert v.anno.max() == 1 and v.anno.min() == 0
+            assert len(v.anno) == v.feat.shape[0] * 16
         else:
             assert (v.anno == 0).all()
             assert len(v.anno) == v.feat.shape[0] * 16

@@ -404,10 +404,12 @@ def test_duplicate_key_pack_rejected(tmp_path, rng):
         write_pack(path, [("v", feat_a), ("v", feat_b)])
 
     # forge one anyway: write two distinct keys of equal length, then patch
-    # the second key's bytes in the index to collide with the first
+    # the second key's bytes IN THE INDEX REGION to collide with the first
+    # (searching from byte 0 could hit the needle in random payload bytes)
     write_pack(path, [("va", feat_a), ("vb", feat_b)])
     raw = bytearray(open(path, "rb").read())
-    idx = raw.index(b"vb")
+    index_offset, = struct.unpack_from("<Q", bytes(raw[:20]), 12)
+    idx = raw.index(b"vb", index_offset)
     raw[idx:idx + 2] = b"va"
     open(path, "wb").write(bytes(raw))
     with pytest.raises(PackFormatError, match="duplicate key"):
