@@ -100,17 +100,20 @@ def flops_per_part(cfg) -> float:
 def main(retry_wait_s: float = 300.0):
     """One transient-failure retry around the measurement: a recently
     SIGTERMed TPU process can leave the remote device grant wedged
-    (RESOURCE_EXHAUSTED on attach).  jax caches a failed backend attach per
-    process, so the retry RE-EXECS a fresh interpreter (guarded by an env
-    flag — one retry only); nothing is printed to stdout until a full run
-    succeeds, so the one-JSON-line contract holds."""
+    (RESOURCE_EXHAUSTED on attach), and the remote tunnel itself can blip
+    (UNAVAILABLE from backend init — observed as a multi-minute outage).
+    jax caches a failed backend attach per process, so the retry RE-EXECS a
+    fresh interpreter (guarded by an env flag — one retry only); nothing is
+    printed to stdout until a full run succeeds, so the one-JSON-line
+    contract holds."""
     import os
 
     try:
         return _run()
     except Exception as e:
-        if "RESOURCE_EXHAUSTED" not in str(e) \
-                or os.environ.get("LSTC_BENCH_RETRY"):
+        transient = ("RESOURCE_EXHAUSTED" in str(e)
+                     or "UNAVAILABLE" in str(e))
+        if not transient or os.environ.get("LSTC_BENCH_RETRY"):
             raise
         print(f"transient device failure ({e}); re-executing in "
               f"{retry_wait_s:.0f}s", file=sys.stderr)
