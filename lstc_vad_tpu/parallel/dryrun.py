@@ -93,20 +93,24 @@ class _ArrayStore:
         return len(self._feats[key])
 
 
-def run_multichip_surface(n_devices: int, devices=None) -> dict:
+def run_multichip_surface(n_devices: int, devices=None,
+                          batch_size: int | None = None) -> dict:
     """The FULL multi-chip surface on one mesh: train step, then the sharded
     batched eval path (PartScorer.score_videos -> frame AUC, the semantics
     of Test/evaluation_shanghaitech_ubnormal.py:70-95 under GSPMD — tp-
     sharded params, dp-sharded part batches), then an LTN pseudo-label
     generation pass (tail fed short, the co-teaching hand-off).  Returns
-    {'loss', 'eval_auc', 'n_pseudo_videos'}; asserts everything finite."""
+    {'loss', 'eval_auc', 'n_pseudo_videos', 'pseudo'}; asserts everything
+    finite.  Pass a common ``batch_size`` to make runs on different meshes
+    comparable (see ``assert_surface_matches``)."""
     from ..data.annotations import TrainRecord
     from ..evaluation.drivers import evaluate_ltn
     from ..evaluation.scoring import PartScorer
     from ..pseudo.generator import generate_ltn_pseudo_labels
 
     metrics, (state, encoder, head, mesh, cfg) = run_multichip_step(
-        n_devices, devices=devices, return_state=True)
+        n_devices, devices=devices, batch_size=batch_size,
+        return_state=True)
     d = cfg.data
     bshard = batch_sharding(mesh)
     rng = np.random.default_rng(1)
@@ -139,4 +143,26 @@ def run_multichip_surface(n_devices: int, devices=None) -> dict:
         assert np.all(np.isfinite(scores)), key
 
     return {"loss": metrics["loss"], "eval_auc": float(auc),
-            "n_pseudo_videos": len(pseudo)}
+            "n_pseudo_videos": len(pseudo),
+            "pseudo": {k: np.asarray(v) for k, v in pseudo.items()}}
+
+
+def assert_surface_matches(base: dict, out: dict, label: str = "") -> None:
+    """Assert two ``run_multichip_surface`` results (same seeds, same
+    ``batch_size``, different meshes) agree: GSPMD partitioning must only
+    change layout, never the math (the DP semantics of
+    /root/reference/Train/spatio_transformer_shanghaitech.py:69-71 —
+    replicas do not change results).  Tolerances allow f32 reduction-order
+    noise only; a wrong sharding rule moves loss/scores far beyond them."""
+    lb, lo = base["loss"], out["loss"]
+    assert abs(lo - lb) <= 1e-4 * max(abs(lb), 1e-8), (
+        f"{label}: sharded loss {lo!r} != single-device loss {lb!r}")
+    assert abs(out["eval_auc"] - base["eval_auc"]) <= 5e-3, (
+        f"{label}: sharded eval AUC {out['eval_auc']!r} != "
+        f"single-device {base['eval_auc']!r}")
+    assert set(out["pseudo"]) == set(base["pseudo"]), label
+    for key in base["pseudo"]:
+        assert np.allclose(out["pseudo"][key], base["pseudo"][key],
+                           rtol=1e-3, atol=1e-4), (
+            f"{label}: pseudo labels for {key} diverge under sharding: "
+            f"{out['pseudo'][key]} vs {base['pseudo'][key]}")

@@ -93,6 +93,27 @@ def test_multichip_matches_single_device():
     assert m8["loss"] == pytest.approx(m1["loss"], rel=1e-4)
 
 
+def test_multichip_surface_matches_single_device():
+    """The driver-visible dryrun contract: the FULL surface (train step,
+    sharded eval AUC, pseudo-label vectors) on the (2, 4) mesh equals the
+    1-device run — and the comparator actually rejects divergent results."""
+    from lstc_vad_tpu.parallel.dryrun import (assert_surface_matches,
+                                              run_multichip_surface)
+
+    base = run_multichip_surface(1, batch_size=8)
+    out = run_multichip_surface(8, batch_size=8)
+    assert_surface_matches(base, out, label="8-device")
+
+    broken = dict(out, loss=out["loss"] + 0.1)
+    with pytest.raises(AssertionError):
+        assert_surface_matches(base, broken, label="broken-loss")
+    key = next(iter(out["pseudo"]))
+    broken = dict(out, pseudo={**out["pseudo"],
+                               key: out["pseudo"][key] + 0.05})
+    with pytest.raises(AssertionError):
+        assert_surface_matches(base, broken, label="broken-pseudo")
+
+
 def test_make_global_mesh_matches_factor_devices_default():
     """The multihost mesh defaults to the same tp-cap-at-4 factorization as
     factor_devices (the 16-device cap itself is pinned above): on this
