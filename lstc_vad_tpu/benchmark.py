@@ -97,24 +97,74 @@ def flops_per_part(cfg) -> float:
     return flops_per_tokens(cfg, cfg.data.part_len * cfg.data.n_patch + 1)
 
 
-def main(retry_wait_s: float = 300.0):
-    """One transient-failure retry around the measurement: a recently
-    SIGTERMed TPU process can leave the remote device grant wedged
-    (RESOURCE_EXHAUSTED on attach), and the remote tunnel itself can blip
-    (UNAVAILABLE from backend init — observed as a multi-minute outage).
-    jax caches a failed backend attach per process, so the retry RE-EXECS a
-    fresh interpreter (guarded by an env flag — one retry only); nothing is
-    printed to stdout until a full run succeeds, so the one-JSON-line
-    contract holds."""
+def _probe_device(timeout_s: float = 90.0):
+    """Cheap device-reachability probe in a FRESH subprocess with a hard
+    timeout: backend init through the remote tunnel either succeeds in
+    seconds or hangs/raises for hours (observed 2026-08-17/18), and jax
+    caches a failed attach per process — so the probe must not share this
+    interpreter.  Returns (ok, detail)."""
+    import subprocess
+
+    code = "import jax; jax.devices(); print('LSTC_PROBE_OK')"
+    try:
+        r = subprocess.run([sys.executable, "-c", code],
+                           capture_output=True, text=True,
+                           timeout=timeout_s)
+    except subprocess.TimeoutExpired:
+        return False, f"device probe hung >{timeout_s:.0f}s (tunnel down?)"
+    if r.returncode == 0 and "LSTC_PROBE_OK" in r.stdout:
+        return True, ""
+    return False, (r.stderr.strip() or r.stdout.strip())[-500:]
+
+
+def _print_outage(detail: str) -> None:
+    """The one-JSON-line contract under a confirmed outage: same contract
+    keys, null values, and an explicit transient_outage marker so the
+    driver records 'environment down' instead of rc:124."""
+    print(json.dumps({
+        "metric": "sht_ltn_eval_snippets_per_sec",
+        "value": None,
+        "unit": "snippets/s",
+        "vs_baseline": None,
+        "transient_outage": True,
+        "outage_detail": detail[-500:],
+    }))
+
+
+def main(retry_wait_s: float = 60.0, probe=_probe_device, runner=None):
+    """Outage-proof entry: exactly ONE JSON line on stdout even when the
+    TPU tunnel is down.  (Round 4 lost its bench artifact to the opposite
+    design — an in-process 300 s sleep-and-re-exec that the driver's own
+    timeout killed mid-sleep, rc:124.)
+
+    1. Probe reachability in a cheap subprocess BEFORE backend init; on
+       failure, re-probe once after a short bounded wait (blips recover in
+       seconds; the multi-hour outages never do — don't burn the driver's
+       budget sleeping), then print the explicit transient-outage line.
+    2. A transient failure MID-run (RESOURCE_EXHAUSTED device-grant wedge,
+       UNAVAILABLE tunnel drop) gets one re-exec retry in a fresh
+       interpreter; if it persists, the outage line is printed instead of
+       raising, so the artifact survives either way."""
     import os
 
+    runner = runner or _run
+    ok, detail = probe()
+    if not ok:
+        time.sleep(min(retry_wait_s, 60.0))
+        ok, detail = probe()
+        if not ok:
+            _print_outage(detail)
+            return
     try:
-        return _run()
+        return runner()
     except Exception as e:
         transient = ("RESOURCE_EXHAUSTED" in str(e)
                      or "UNAVAILABLE" in str(e))
-        if not transient or os.environ.get("LSTC_BENCH_RETRY"):
+        if not transient:
             raise
+        if os.environ.get("LSTC_BENCH_RETRY"):
+            _print_outage(f"transient failure persisted after re-exec: {e}")
+            return
         print(f"transient device failure ({e}); re-executing in "
               f"{retry_wait_s:.0f}s", file=sys.stderr)
         time.sleep(retry_wait_s)
@@ -122,10 +172,12 @@ def main(retry_wait_s: float = 300.0):
         sys.stderr.flush()
         # sys.argv[0] is __main__.py under 'python -m lstc_vad_tpu', which
         # cannot be re-run as a top-level script (relative imports) — rebuild
-        # the real interpreter command line instead
-        argv = (list(sys.orig_argv) if getattr(sys, "orig_argv", None)
-                else [sys.executable] + sys.argv)
-        os.execv(argv[0], argv)
+        # from the real interpreter command line; exec the interpreter by
+        # absolute path (orig_argv[0] is typically a bare 'python' that
+        # os.execv would not find on PATH)
+        tail = (list(sys.orig_argv)[1:] if getattr(sys, "orig_argv", None)
+                else sys.argv)
+        os.execv(sys.executable, [sys.executable] + tail)
 
 
 def _build_apply(cfg):
@@ -379,9 +431,12 @@ def _serving_probe(rng, n_streams: int = 16, n_flushes: int = 100):
         assert len(got) == n_streams
     total = time.perf_counter() - t_all
     lat_ms = np.sort(np.array(lat) * 1e3)
+    # nearest-rank percentile (int(n*0.99) selects the MAX at n=100 — the
+    # trap scripts/serving_latency_study.py documents; keep both consistent)
+    p99_idx = max(0, int(np.ceil(len(lat_ms) * 0.99)) - 1)
     return (n_streams * n_flushes / total,
             float(lat_ms[len(lat_ms) // 2]),
-            float(lat_ms[min(len(lat_ms) - 1, int(len(lat_ms) * 0.99))]))
+            float(lat_ms[p99_idx]))
 
 
 def _train_step(rng, compute_dtype: str = "float32"):

@@ -100,8 +100,14 @@ def _commit_pending():
         # .next directory is incomplete and must never be promoted over the
         # good checkpoint.  Drop the pending entry and the checkpointer
         # (AsyncCheckpointer pins the stored error) so the next save starts
-        # clean instead of re-raising this failure forever.
+        # clean instead of re-raising this failure forever.  close() first:
+        # dropping the reference alone leaks its background thread for the
+        # process lifetime.
         _PENDING.clear()
+        try:
+            _ASYNC_CKPTR.close()
+        except Exception:
+            pass  # already broken; the replacement checkpointer is the fix
         _ASYNC_CKPTR = None
         raise
     for tmp, final, multiproc in _PENDING:
