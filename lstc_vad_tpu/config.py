@@ -50,6 +50,12 @@ class EncoderConfig:
     attn_impl: str = "auto"        # "auto" | "xla" | "pallas"
     compute_dtype: str = "float32" # "float32" | "bfloat16" (matmuls/activations;
                                    # params, layernorm + softmax stay f32)
+    cast_sr: bool = False          # bfloat16 only: stochastically round the
+                                   # train-time f32->bf16 weight/activation
+                                   # casts in front of each matmul (unbiased;
+                                   # ops/sr.py) instead of round-to-nearest;
+                                   # elementwise ops stay f32.  Eval and
+                                   # deterministic passes are unaffected.
     remat: bool = False            # jax.checkpoint each encoder layer: the
                                    # backward recomputes activations instead
                                    # of keeping them in HBM (exact math,

@@ -20,16 +20,56 @@ ops.attention.sdpa; everything else is left to XLA fusion.
 
 from __future__ import annotations
 
-from typing import Optional
+from typing import Any, Callable, Optional
 
+import jax
 import jax.numpy as jnp
 import numpy as np
 from flax import linen as nn
 
 from ..config import EncoderConfig
 from ..ops.attention import sdpa
+from ..ops.sr import sr_cast
 from . import initializers as init
 from . import rpe
+
+
+class _SRLinear(nn.Module):
+    """``nn.Dense`` twin (identical param tree: f32 ``kernel`` [in, features]
+    + optional ``bias`` [features]) whose f32->bf16 casts in front of the
+    matmul use stochastic rounding (ops/sr.py) instead of round-to-nearest.
+    The matmul runs in bfloat16 (the throughput the cast_sr probe keeps);
+    the output stays bfloat16 like a ``dtype=bfloat16`` Dense.  Draws its
+    randomness from the 'dropout' rng collection the train steps already
+    thread (train/steps.py)."""
+
+    features: int
+    kernel_init: Callable[..., Any]
+    use_bias: bool = True
+    bias_init: Callable[..., Any] = nn.initializers.zeros_init()
+
+    @nn.compact
+    def __call__(self, x):
+        kernel = self.param("kernel", self.kernel_init,
+                            (x.shape[-1], self.features))
+        kkey, xkey, bkey = jax.random.split(self.make_rng("dropout"), 3)
+        y = jnp.matmul(sr_cast(x, xkey), sr_cast(kernel, kkey))
+        if self.use_bias:
+            bias = self.param("bias", self.bias_init, (self.features,))
+            y = y + sr_cast(bias, bkey)
+        return y
+
+
+def _sr_active(c: EncoderConfig, deterministic: bool) -> bool:
+    """cast_sr applies to TRAIN passes of a bfloat16-compute encoder only;
+    deterministic (eval) passes keep the plain cast path bit-for-bit — so a
+    cast_sr config whose eval twin forces f32 compute stays valid."""
+    if not c.cast_sr or deterministic:
+        return False
+    if jnp.dtype(c.compute_dtype) != jnp.bfloat16:
+        raise ValueError("encoder.cast_sr requires "
+                         f"compute_dtype='bfloat16', got {c.compute_dtype!r}")
+    return True
 
 
 class MultiHeadAttention(nn.Module):
@@ -45,12 +85,19 @@ class MultiHeadAttention(nn.Module):
         c = self.cfg
         b, length, _ = x.shape
         dt = jnp.dtype(c.compute_dtype)
+        sr = _sr_active(c, deterministic)
         kernel_init = (init.xavier_uniform_torch() if c.weight_init
                        else init.torch_linear_kernel)
-        dense = lambda feats, name: nn.Dense(  # noqa: E731
-            feats, use_bias=False, kernel_init=kernel_init, dtype=dt,
-            name=name)
-        x = x.astype(dt)
+        if sr:
+            # SR probe arm: matmuls in bf16 with stochastically-rounded
+            # casts; activations BETWEEN ops stay f32 (elementwise is cheap)
+            dense = lambda feats, name: _SRLinear(  # noqa: E731
+                feats, kernel_init=kernel_init, use_bias=False, name=name)
+        else:
+            dense = lambda feats, name: nn.Dense(  # noqa: E731
+                feats, use_bias=False, kernel_init=kernel_init, dtype=dt,
+                name=name)
+            x = x.astype(dt)
 
         residual = x
         h, dk, dv = c.n_head, c.d_k, c.d_v
@@ -78,8 +125,9 @@ class MultiHeadAttention(nn.Module):
         out = out + residual
         if c.mha_layernorm:
             # stats in f32 for stability, output back in compute dtype
+            # (f32 throughout on the SR arm — elementwise stays full precision)
             out = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(
-                out.astype(jnp.float32)).astype(dt)
+                out.astype(jnp.float32)).astype(jnp.float32 if sr else dt)
         if return_v:
             return out, probs, v
         if return_probs:
@@ -126,22 +174,34 @@ class FeedForward(nn.Module):
     def __call__(self, x, *, deterministic: bool = True):
         c = self.cfg
         dt = jnp.dtype(c.compute_dtype)
+        sr = _sr_active(c, deterministic)
         if c.weight_init:
             k1 = k2 = init.xavier_uniform_torch()
         else:
             k1 = k2 = init.torch_linear_kernel
         residual = x
-        x = nn.Dense(c.d_inner, kernel_init=k1, dtype=dt,
-                     bias_init=init.torch_linear_bias(c.d_model), name="w_1")(x)
-        x = nn.relu(x)
-        x = nn.Dense(c.d_model, kernel_init=k2, dtype=dt,
-                     bias_init=init.torch_linear_bias(c.d_inner), name="w_2")(x)
+        if sr:
+            x = _SRLinear(c.d_inner, kernel_init=k1,
+                          bias_init=init.torch_linear_bias(c.d_model),
+                          name="w_1")(x)
+            x = nn.relu(x)
+            x = _SRLinear(c.d_model, kernel_init=k2,
+                          bias_init=init.torch_linear_bias(c.d_inner),
+                          name="w_2")(x)
+        else:
+            x = nn.Dense(c.d_inner, kernel_init=k1, dtype=dt,
+                         bias_init=init.torch_linear_bias(c.d_model),
+                         name="w_1")(x)
+            x = nn.relu(x)
+            x = nn.Dense(c.d_model, kernel_init=k2, dtype=dt,
+                         bias_init=init.torch_linear_bias(c.d_inner),
+                         name="w_2")(x)
         x = nn.Dropout(c.ffn_dropout, name="dropout")(
             x, deterministic=deterministic)
         x = x + residual
         if c.ffn_layernorm:
             x = nn.LayerNorm(epsilon=c.layer_norm_eps, name="layer_norm")(
-                x.astype(jnp.float32)).astype(dt)
+                x.astype(jnp.float32)).astype(jnp.float32 if sr else dt)
         return x
 
 

@@ -159,12 +159,12 @@ class Trainer:
         inference.  Params are structurally identical either way, so the
         train state drops straight in."""
         ec = self.cfg.encoder
-        if ec.compute_dtype == "float32" and not ec.remat:
+        if ec.compute_dtype == "float32" and not ec.remat and not ec.cast_sr:
             return self.encoder
         from ..models import Encoder
 
         return Encoder(dataclasses.replace(ec, compute_dtype="float32",
-                                           remat=False))
+                                           remat=False, cast_sr=False))
 
     def _build_scorers(self):
         cfg, d = self.cfg, self.cfg.data

@@ -181,11 +181,15 @@ def run_tpu_convergence(epochs: int = EPOCHS, dtypes=("float32", "bfloat16"),
               "train_videos": TRAIN_N + TRAIN_A, "clips": CLIPS})
         for dtype in dtypes:
             for seed in seeds:
+                # 'bfloat16_sr': the VERDICT r4 #6 probe arm — bf16 matmuls
+                # with stochastically-rounded casts (encoder.cast_sr)
+                compute = dtype.removesuffix("_sr")
                 cfg = preset("sht_ltn", seed=seed, epochs=epochs,
                              inter_epoch=INTER, save_threshold=2.0,
                              eval_train_split=False,
                              model_save_dir=os.path.join(tmp, "ckpt"), **{
-                                 "encoder.compute_dtype": dtype,
+                                 "encoder.cast_sr": dtype.endswith("_sr"),
+                                 "encoder.compute_dtype": compute,
                                  "data.h5_path": h5,
                                  "data.train_txt": train_txt,
                                  "data.test_txt": test_txt,
