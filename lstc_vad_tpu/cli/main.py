@@ -929,6 +929,26 @@ def cmd_serve(args):
     # STN presets score single clips (part_len=1 + regressor); LTN scores
     # part_len-clip parts with the classifier's abnormal-class probability
     part_len = 1 if cfg.model.startswith("stn") else cfg.data.part_len
+    if args.backend:
+        # jax-FREE worker: protocol + stream buffers here, device calls
+        # proxied to the serve-backend process (serving_mp.py); fan out one
+        # worker per client pipe without N jax startups or device grants
+        if args.artifact or args.torch_ckpt or args.ckpt \
+                or args.encoder_ckpt or args.head_ckpt:
+            raise SystemExit("--backend workers hold no params — they live "
+                             "in the serve-backend process; drop "
+                             "--ckpt/--torch-ckpt/--encoder-ckpt/"
+                             "--head-ckpt/--artifact")
+        from ..serving_mp import make_worker_scorer
+
+        scorer = make_worker_scorer(args.backend, part_len, cfg.data.n_patch,
+                                    cfg.encoder.d_model,
+                                    max_streams=args.max_streams)
+        n_push, n_scores = serve_jsonl(scorer, sys.stdin, sys.stdout,
+                                       flush_every=args.flush_every)
+        print(f"[serve] {n_push} clips in, {n_scores} scores out "
+              f"(worker -> {args.backend})", file=sys.stderr)
+        return 0
     if args.artifact:
         if args.torch_ckpt or args.ckpt or args.encoder_ckpt \
                 or args.head_ckpt:
@@ -978,6 +998,87 @@ def cmd_serve(args):
                                    flush_every=args.flush_every)
     print(f"[serve] {n_push} clips in, {n_scores} scores out",
           file=sys.stderr)
+    return 0
+
+
+def cmd_serve_backend(args):
+    """Device-owner half of multi-process serving (serving_mp.py): ONE jax
+    process that coalesces token rows from N jax-free ``serve --backend``
+    workers into padded device calls.  Params flags mirror ``serve``.
+    Prints one JSON ready-line to stdout once listening (a supervisor can
+    block on it), then serves until SIGINT/SIGTERM."""
+    import json as _json
+    import types
+
+    import numpy as np
+
+    cfg = _apply_common(preset(args.preset), args)
+    if args.max_batch < 1:
+        raise SystemExit(f"--max-batch must be >= 1, got {args.max_batch}")
+    part_len = 1 if cfg.model.startswith("stn") else cfg.data.part_len
+    if args.artifact:
+        if args.torch_ckpt or args.ckpt or args.encoder_ckpt \
+                or args.head_ckpt:
+            raise SystemExit("--artifact already contains the params — drop "
+                             "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
+        from ..export import load_scorer
+
+        loaded = load_scorer(args.artifact)
+        if loaded.meta.get("l2_normalize", False):
+            raise SystemExit(
+                "artifact was exported with --l2 (UCF final-eval feature "
+                "normalize); serving uses the plain part semantics — "
+                "export without --l2")
+        baked_pl = loaded.meta.get("part_len")
+        if baked_pl is not None:
+            part_len = int(baked_pl)
+        d_model = loaded.meta["d_model"]
+        n_patch = loaded.meta["token_len"] // part_len
+        params = None
+        apply_fn = lambda _p, tokens: loaded.score(  # noqa: E731
+            np.asarray(tokens, dtype=np.float32))
+    else:
+        from ..evaluation.scoring import get_apply
+        from ..train.state import create_train_state
+
+        state, encoder, head, _tx = create_train_state(cfg)
+        if not (args.ckpt or args.encoder_ckpt or args.head_ckpt):
+            print("[serve-backend] no --ckpt/--artifact: serving fresh "
+                  "random-init params (smoke-test mode)", file=sys.stderr)
+        holder = types.SimpleNamespace(state=state)
+        holder = _load_params(args, holder)
+        ec = cfg.encoder
+        if ec.compute_dtype != "float32" or ec.remat or ec.cast_sr:
+            # serving compute stays f32 like every eval path
+            from ..models import Encoder
+
+            encoder = Encoder(dataclasses.replace(
+                ec, compute_dtype="float32", remat=False, cast_sr=False))
+        apply_fn = get_apply(encoder, head, cfg.head.kind, False)
+        params = holder.state.params
+        d_model = cfg.encoder.d_model
+        n_patch = cfg.data.n_patch
+
+    from ..serving_mp import BatchingBackend
+
+    backend = BatchingBackend(apply_fn, params, d_model,
+                              max_batch=args.max_batch,
+                              window_ms=args.window_ms)
+    # pre-warm the full-part program so the first worker flush pays no
+    # compile (tail lengths compile on first use)
+    warm = np.zeros((args.max_batch, part_len * n_patch, d_model),
+                    np.float32)
+    np.asarray(apply_fn(params, warm))
+
+    def ready():
+        print(_json.dumps({"listening": args.socket,
+                           "d_model": d_model, "max_batch": args.max_batch,
+                           "part_len": part_len, "n_patch": n_patch}),
+              flush=True)
+
+    backend.serve_forever(args.socket, ready_fn=ready)
+    print(f"[serve-backend] {backend.n_calls} device calls, "
+          f"{backend.n_rows} rows", file=sys.stderr)
     return 0
 
 
@@ -1141,7 +1242,33 @@ def main(argv=None):
                    metavar="K",
                    help="also flush after every K pushes (default: only on "
                         "explicit {\"op\": \"flush\"} requests)")
+    p.add_argument("--backend", metavar="SOCKET",
+                   help="run as a jax-FREE protocol worker: buffer streams "
+                        "here, proxy device calls to a serve-backend unix "
+                        "socket (fan out one worker per client pipe)")
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("serve-backend",
+                       help="multi-process serving device owner: batch "
+                            "token rows from N 'serve --backend' workers "
+                            "into padded device calls over a unix socket")
+    _add_common(p)
+    p.add_argument("--socket", required=True,
+                   help="unix socket path to listen on")
+    p.add_argument("--ckpt", help="Orbax params directory (encoder+head)")
+    p.add_argument("--encoder-ckpt", dest="encoder_ckpt")
+    p.add_argument("--head-ckpt", dest="head_ckpt")
+    p.add_argument("--torch-ckpt", dest="torch_ckpt", action="store_true",
+                   help="checkpoints are torch state_dicts")
+    p.add_argument("--artifact",
+                   help="AOT artifact directory (export-aot, no --l2)")
+    p.add_argument("--max-batch", dest="max_batch", type=int, default=128,
+                   help="rows per coalesced device call (the compiled batch "
+                        "shape; every worker's --max-streams must be <= it)")
+    p.add_argument("--window-ms", dest="window_ms", type=float, default=2.0,
+                   help="coalescing window: how long to wait for more "
+                        "workers' rows before dispatching a partial batch")
+    p.set_defaults(fn=cmd_serve_backend)
 
     p = sub.add_parser("info", help="print versions, devices, HBM usage, "
                                     "auto-mesh factorization and env knobs")
