@@ -1,0 +1,151 @@
+"""Full-dims CLI drive on the REAL chip (VERDICT r4/r5 #1 'done' criterion).
+
+Drives the production CLI — real subprocesses, flagship ShanghaiTech
+dimensions (d_model 2048, n_patch 16, 3-layer encoder), synthetic
+full-shape data with injected anomaly signal — through the whole reference
+pipeline (README.md:22-35):
+
+  1. train STN (MIL)            ~ Train/spatio_transformer_shanghaitech.py
+  2. gen-pseudo --kind stn      ~ Train/pseudo_labels_generator_spatio.py
+  3. train LTN (MIL+CE)         ~ Train/temporal_transformer_shanghaitech.py
+  4. gen-pseudo --kind ltn      ~ Train/pseudo_labels_generator_temporal.py
+  5. coteach round (STN BCE)    ~ Train/spatio_transformer_MIL_CE.py
+  6. evaluate (frame AUC)       ~ Test/evaluation_shanghaitech_ubnormal.py
+
+Each step's wall time + the final AUC land in a JSONL the ARCHITECTURE.md
+log quotes.  Reuses the bf16 study's signal dataset builder so the LTN can
+actually learn (AUC must end > 0.5, not just run).
+
+Usage (probe the tunnel first per CLAUDE.md):
+  PYTHONPATH=/root/repo:/root/.axon_site \
+      python scripts/full_dims_cli_drive.py [--epochs 6] [--out JSONL]
+"""
+
+import argparse
+import json
+import os
+import subprocess
+import sys
+import tempfile
+import time
+
+REPO = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+sys.path.insert(0, REPO)
+sys.path.insert(0, os.path.join(REPO, "scripts"))
+
+
+def run_cli(step, args, out_path, extra_env=None):
+    env = dict(os.environ)
+    env["PYTHONPATH"] = f"{REPO}:/root/.axon_site"
+    if extra_env:
+        env.update(extra_env)
+    cmd = [sys.executable, "-m", "lstc_vad_tpu"] + args
+    t0 = time.time()
+    r = subprocess.run(cmd, capture_output=True, text=True, env=env,
+                       cwd=REPO)
+    dt = time.time() - t0
+    rec = {"step": step, "wall_s": round(dt, 1), "rc": r.returncode,
+           "cmd": " ".join(args[:6]) + " ..."}
+    if r.returncode != 0:
+        rec["stderr_tail"] = r.stderr[-1500:]
+    with open(out_path, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    if r.returncode != 0:
+        print(r.stderr[-3000:], file=sys.stderr)
+        raise SystemExit(f"step {step!r} failed rc={r.returncode}")
+    return r.stdout
+
+
+SMOKE_SETS = ("encoder.d_model=16 encoder.d_inner=32 encoder.n_head=2 "
+              "encoder.d_k=8 encoder.d_v=8 encoder.n_layers=1 "
+              "encoder.attn_impl=xla head.d_model=16 head.hidden_dim=8 "
+              "data.n_patch=4 data.d_model=16").split()
+
+
+def main():
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--out", default=os.path.join(REPO, "docs",
+                                                  "FULL_DIMS_DRIVE.jsonl"))
+    ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--smoke", action="store_true",
+                    help="tiny dims on CPU: validates THIS SCRIPT's "
+                         "plumbing end-to-end without a TPU (the real run "
+                         "uses flagship dims and the default platform)")
+    args = ap.parse_args()
+
+    import bf16_quality_study as study
+
+    small = []
+    if args.smoke:
+        study.D_MODEL, study.N_PATCH = 16, 4
+        study.CLIPS, study.TRAIN_N, study.TRAIN_A = 24, 6, 6
+        study.TEST_N, study.TEST_A = 3, 3
+        for kv in SMOKE_SETS:
+            small += ["--set", kv]
+        os.environ["LSTC_VAD_PLATFORM"] = "cpu"
+        args.batch_size = min(args.batch_size, 4)
+
+    tmp = tempfile.mkdtemp(prefix="fulldims_")
+    h5, train_txt, test_txt, mask_dir, _pseudo = study._make_signal_dataset(
+        os.path.join(tmp, "data"), data_seed=5)
+    with open(args.out, "a") as f:
+        f.write(json.dumps({"step": "dataset", "root": tmp,
+                            "smoke": args.smoke,
+                            "ts": round(time.time(), 1)}) + "\n")
+
+    common = ["--h5", h5, "--train-txt", train_txt, "--test-txt", test_txt,
+              "--mask-dir", mask_dir + "/",
+              "--batch-size", str(args.batch_size)] + small
+    # persistent compile cache: coteach re-runs the same programs
+    cache_env = {"LSTC_VAD_COMPILE_CACHE": os.path.join(tmp, "xla_cache")}
+    stn_state = os.path.join(tmp, "stn_state")
+    ltn_state = os.path.join(tmp, "ltn_state")
+    stn_pl = os.path.join(tmp, "stn_pseudo.npy")
+    ltn_pl = os.path.join(tmp, "ltn_pseudo.npy")
+    ep = str(args.epochs)
+
+    # the signal dataset carries TEST-split masks only (like the bf16
+    # study): skip the reference's train-split eval in both train steps
+    no_train_eval = ["--set", "inter_epoch=1000",
+                     "--set", "eval_train_split=false"]
+    run_cli("train_stn", ["train", "--preset", "sht_stn", "--epochs", ep,
+                          "--save-state", stn_state] + no_train_eval
+            + common, args.out, cache_env)
+    run_cli("gen_pseudo_stn", ["gen-pseudo", "--preset", "sht_stn",
+                               "--kind", "stn", "--ckpt", stn_state,
+                               "--threshold", "0.9", "--out", stn_pl]
+            + common, args.out, cache_env)  # README.md:27 threshold
+    run_cli("train_ltn", ["train", "--preset", "sht_ltn", "--epochs", ep,
+                          "--pseudo-labels", stn_pl,
+                          "--save-state", ltn_state] + no_train_eval
+            + common, args.out, cache_env)
+    run_cli("gen_pseudo_ltn", ["gen-pseudo", "--preset", "sht_ltn",
+                               "--kind", "ltn", "--ckpt", ltn_state,
+                               "--threshold", "0.65", "--out", ltn_pl]
+            + common, args.out, cache_env)
+    run_cli("coteach_round", ["coteach", "--stn-preset", "sht_stn",
+                              "--ltn-preset", "sht_ltn",
+                              "--workdir", os.path.join(tmp, "coteach"),
+                              "--rounds", "2",
+                              "--stn-epochs", ep, "--ltn-epochs", ep]
+            + no_train_eval + common, args.out, cache_env)
+    out = run_cli("evaluate_ltn", ["evaluate", "--preset", "sht_ltn",
+                                   "--ckpt", ltn_state] + common,
+                  args.out, cache_env)
+    auc = float(out.strip().split("auc = ")[-1])
+    # the learned-signal gate applies to the flagship run; the smoke run
+    # proves plumbing, not convergence at 1-epoch tiny dims
+    gate = 0.0 if args.smoke else 0.60
+    rec = {"step": "final", "ltn_auc": round(auc, 4),
+           "learned": auc > 0.60, "ts": round(time.time(), 1)}
+    with open(args.out, "a") as f:
+        f.write(json.dumps(rec) + "\n")
+    print(json.dumps(rec), flush=True)
+    if not (auc > gate):
+        raise SystemExit(f"LTN did not learn the injected signal: {auc}")
+
+
+if __name__ == "__main__":
+    main()
