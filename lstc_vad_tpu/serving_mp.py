@@ -107,6 +107,8 @@ class BatchingBackend:
         self._stop = False
         self._dispatcher: Optional[threading.Thread] = None
         self._server_sock: Optional[socket.socket] = None
+        self._conns: set = set()
+        self._conns_lock = threading.Lock()
         self.n_calls = 0          # device calls made
         self.n_rows = 0           # rows scored (incl. worker padding rows)
 
@@ -194,6 +196,8 @@ class BatchingBackend:
     # ------------------------------------------------------------ socket srv
 
     def _handle_conn(self, conn: socket.socket):
+        with self._conns_lock:
+            self._conns.add(conn)
         try:
             while True:
                 try:
@@ -220,6 +224,8 @@ class BatchingBackend:
                     # a bad request fails that request, not the connection
                     _send_msg(conn, {"error": f"{type(e).__name__}: {e}"})
         finally:
+            with self._conns_lock:
+                self._conns.discard(conn)
             conn.close()
 
     def start(self, sock_path: str) -> None:
@@ -265,6 +271,19 @@ class BatchingBackend:
                 self._server_sock.close()
             except OSError:
                 pass
+        # close live worker connections too: a zombie handler answering
+        # "backend is shut down" forever would defeat worker reconnects
+        with self._conns_lock:
+            conns = list(self._conns)
+        for conn in conns:
+            try:
+                conn.shutdown(socket.SHUT_RDWR)
+            except OSError:
+                pass
+            try:
+                conn.close()
+            except OSError:
+                pass
         if self._dispatcher is not None:
             self._dispatcher.join(timeout=5)
 
@@ -277,31 +296,54 @@ class RemoteApply:
     def __init__(self, sock_path: str, d_model: int,
                  connect_timeout_s: float = 10.0):
         self.d_model = d_model
+        self.sock_path = sock_path
+        self._connect_timeout_s = connect_timeout_s
         self._lock = threading.Lock()
-        deadline = time.monotonic() + connect_timeout_s
+        self._sock: Optional[socket.socket] = None
+        self._connect()
+
+    def _connect(self):
+        deadline = time.monotonic() + self._connect_timeout_s
         while True:
             self._sock = socket.socket(socket.AF_UNIX, socket.SOCK_STREAM)
             try:
-                self._sock.connect(sock_path)
+                self._sock.connect(self.sock_path)
                 break
-            except (FileNotFoundError, ConnectionRefusedError):
+            except (FileNotFoundError, ConnectionRefusedError, OSError):
                 self._sock.close()
+                self._sock = None
                 if time.monotonic() >= deadline:
                     raise
-                time.sleep(0.05)  # backend still starting
+                time.sleep(0.05)  # backend still starting / restarting
         _send_msg(self._sock, {"op": "ping"})
         header, _ = _recv_msg(self._sock)
-        if header.get("d_model") not in (None, d_model):
+        if header.get("d_model") not in (None, self.d_model):
             raise ValueError(f"backend serves d_model={header['d_model']}, "
-                             f"worker expects {d_model}")
+                             f"worker expects {self.d_model}")
         self.max_batch = header.get("max_batch")
 
     def __call__(self, _params, tokens) -> np.ndarray:
         tokens = np.ascontiguousarray(tokens, dtype="<f4")
         n, tok_len, _ = tokens.shape
         with self._lock:
-            _send_msg(self._sock, {"n": n, "tok": tok_len}, tokens.tobytes())
-            header, payload = _recv_msg(self._sock)
+            try:
+                _send_msg(self._sock, {"n": n, "tok": tok_len},
+                          tokens.tobytes())
+                header, payload = _recv_msg(self._sock)
+            except (ConnectionError, OSError):
+                # the backend restarted: reconnect once and retry THIS
+                # request — a long-lived worker must survive a backend
+                # bounce without dropping its buffered streams (the scorer
+                # restores buffers if this raises anyway)
+                if self._sock is not None:
+                    try:
+                        self._sock.close()
+                    except OSError:
+                        pass
+                self._connect()
+                _send_msg(self._sock, {"n": n, "tok": tok_len},
+                          tokens.tobytes())
+                header, payload = _recv_msg(self._sock)
         if "error" in header:
             raise RuntimeError(f"backend: {header['error']}")
         return np.frombuffer(payload, "<f4").copy()

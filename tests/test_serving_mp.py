@@ -209,6 +209,27 @@ def test_worker_jsonl_protocol_through_backend(tmp_path):
         b.shutdown()
 
 
+def test_remote_apply_survives_backend_restart(tmp_path):
+    """A backend bounce must not strand long-lived workers: RemoteApply
+    reconnects once and retries the in-flight request."""
+    sock = str(tmp_path / "b.sock")
+    b1 = BatchingBackend(_fake_apply, None, D, max_batch=8, window_ms=0.0)
+    b1.start(sock)
+    client = RemoteApply(sock, D)
+    tokens = np.ones((2, 3, D), np.float32)
+    np.testing.assert_allclose(client(None, tokens), 3 * D, rtol=1e-6)
+    b1.shutdown()
+
+    b2 = BatchingBackend(_fake_apply, None, D, max_batch=8, window_ms=0.0)
+    b2.start(sock)
+    try:
+        out = client(None, tokens)  # old socket is dead -> reconnect path
+        np.testing.assert_allclose(out, 3 * D, rtol=1e-6)
+    finally:
+        b2.shutdown()
+        client.close()
+
+
 def test_worker_imports_are_jax_free():
     """The whole worker-side import surface (protocol, buffers, remote
     apply, config presets) must not pull in jax: worker fan-out is supposed
