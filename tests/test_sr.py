@@ -141,6 +141,36 @@ def test_cast_sr_train_forward_tracks_f32():
     assert not np.array_equal(outs[0], outs[1])
 
 
+def test_cast_sr_composes_with_remat():
+    """remat recomputes the layer in the backward with the SAME flax rngs,
+    so the SR noise must be identical in both passes: the remat'd SR train
+    forward equals the plain SR forward under equal dropout keys."""
+    from lstc_vad_tpu.config import replace as cfg_replace
+    from lstc_vad_tpu.models import Encoder
+
+    import jax
+
+    base = _enc_cfg(compute_dtype="bfloat16", cast_sr=True)
+    rng = np.random.default_rng(5)
+    x = rng.standard_normal((2, 12, 16)).astype(np.float32)
+    enc = Encoder(base)
+    params = enc.init(jax.random.PRNGKey(0), x)["params"]
+    enc_r = Encoder(cfg_replace(base, remat=True))
+    key = {"dropout": jax.random.PRNGKey(9)}
+    out = enc.apply({"params": params}, x, deterministic=False, rngs=key)
+    out_r = enc_r.apply({"params": params}, x, deterministic=False, rngs=key)
+    assert np.array_equal(np.asarray(out), np.asarray(out_r))
+
+    # and the full grad path through remat + SR compiles and is finite
+    def loss(p):
+        h = enc_r.apply({"params": p}, x, deterministic=False, rngs=key)
+        return (h.astype(np.float32) ** 2).mean()
+
+    g = jax.grad(loss)(params)
+    assert all(np.all(np.isfinite(leaf)) for leaf in
+               jax.tree_util.tree_leaves(jax.tree.map(np.asarray, g)))
+
+
 def test_cast_sr_train_step_runs_and_learns():
     """Full LTN train step (fwd + bwd + Adagrad) with cast_sr: finite loss,
     params move — the straight-through gradient reaches the weights."""
