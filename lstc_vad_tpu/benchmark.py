@@ -102,19 +102,30 @@ def _probe_device(timeout_s: float = 90.0):
     timeout: backend init through the remote tunnel either succeeds in
     seconds or hangs/raises for hours (observed 2026-08-17/18), and jax
     caches a failed attach per process — so the probe must not share this
-    interpreter.  Returns (ok, detail)."""
+    interpreter.  Returns (ok, detail).
+
+    A hung probe child is SIGTERMed, never SIGKILLed (CLAUDE.md: SIGKILL of
+    a TPU-attaching process can wedge the remote device grant ~30-60 min);
+    SIGKILL only as a last resort if SIGTERM is ignored for 15 s."""
     import subprocess
 
     code = "import jax; jax.devices(); print('LSTC_PROBE_OK')"
+    p = subprocess.Popen([sys.executable, "-c", code],
+                         stdout=subprocess.PIPE, stderr=subprocess.PIPE,
+                         text=True)
     try:
-        r = subprocess.run([sys.executable, "-c", code],
-                           capture_output=True, text=True,
-                           timeout=timeout_s)
+        out, err = p.communicate(timeout=timeout_s)
     except subprocess.TimeoutExpired:
+        p.terminate()
+        try:
+            p.communicate(timeout=15)
+        except subprocess.TimeoutExpired:
+            p.kill()
+            p.communicate()
         return False, f"device probe hung >{timeout_s:.0f}s (tunnel down?)"
-    if r.returncode == 0 and "LSTC_PROBE_OK" in r.stdout:
+    if p.returncode == 0 and "LSTC_PROBE_OK" in out:
         return True, ""
-    return False, (r.stderr.strip() or r.stdout.strip())[-500:]
+    return False, (err.strip() or out.strip())[-500:]
 
 
 def _print_outage(detail: str) -> None:
@@ -163,6 +174,13 @@ def main(retry_wait_s: float = 60.0, probe=_probe_device, runner=None):
         if not transient:
             raise
         if os.environ.get("LSTC_BENCH_RETRY"):
+            # persisted across a fresh interpreter: only call it an outage
+            # if the device really is unreachable — a reachable device means
+            # a genuine bug (e.g. an HBM OOM raising RESOURCE_EXHAUSTED)
+            # that must fail loudly, not be laundered into an outage line
+            ok, _detail = probe()
+            if ok:
+                raise
             _print_outage(f"transient failure persisted after re-exec: {e}")
             return
         print(f"transient device failure ({e}); re-executing in "

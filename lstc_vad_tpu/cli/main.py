@@ -1033,7 +1033,14 @@ def cmd_serve_backend(args):
         if baked_pl is not None:
             part_len = int(baked_pl)
         d_model = loaded.meta["d_model"]
-        n_patch = loaded.meta["token_len"] // part_len
+        token_len = loaded.meta["token_len"]
+        if token_len % part_len:
+            # same validation as StreamingScorer.from_artifact: a silently
+            # truncated n_patch would warm a token length the artifact has
+            # no program for and advertise wrong dims on the ready line
+            raise SystemExit(f"artifact token_len {token_len} is not "
+                             f"divisible by part_len {part_len}")
+        n_patch = token_len // part_len
         params = None
         apply_fn = lambda _p, tokens: loaded.score(  # noqa: E731
             np.asarray(tokens, dtype=np.float32))

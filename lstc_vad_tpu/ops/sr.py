@@ -46,8 +46,12 @@ def _sr_cast_f32(x: jax.Array, key: jax.Array) -> jax.Array:
     bits = jax.lax.bitcast_convert_type(x, jnp.uint32)
     noise = jax.random.bits(key, x.shape, jnp.uint32) & jnp.uint32(0xFFFF)
     rounded = (bits + noise) & jnp.uint32(0xFFFF0000)
-    return jax.lax.bitcast_convert_type(
+    sr = jax.lax.bitcast_convert_type(
         rounded, jnp.float32).astype(jnp.bfloat16)
+    # non-finite inputs must PROPAGATE: the mantissa+noise add can wrap a
+    # high-payload NaN's bits through the sign field into ±0.0, silently
+    # masking a divergence — exactly what the SR probe arm must not hide
+    return jnp.where(jnp.isfinite(x), sr, x.astype(jnp.bfloat16))
 
 
 @_sr_cast_f32.defjvp

@@ -135,8 +135,9 @@ def run_multichip_surface(n_devices: int, devices=None,
             (n, d.n_patch, cfg.encoder.d_model)).astype(np.float32)
         for i, n in enumerate((2 * d.part_len, 3 * d.part_len + 2))})
     records = [TrainRecord("v0", False), TrainRecord("v1", True)]
+    threshold = 0.4
     pseudo = generate_ltn_pseudo_labels(state.params, gen_scorer, store,
-                                        records, threshold=0.4)
+                                        records, threshold=threshold)
     assert set(pseudo) == {"v0.npy", "v1.npy"}
     for key, scores in pseudo.items():
         assert len(scores) == store.n_clips(key[:-4]), (key, len(scores))
@@ -144,6 +145,7 @@ def run_multichip_surface(n_devices: int, devices=None,
 
     return {"loss": metrics["loss"], "eval_auc": float(auc),
             "n_pseudo_videos": len(pseudo),
+            "pseudo_threshold": threshold,
             "pseudo": {k: np.asarray(v) for k, v in pseudo.items()}}
 
 
@@ -161,8 +163,15 @@ def assert_surface_matches(base: dict, out: dict, label: str = "") -> None:
         f"{label}: sharded eval AUC {out['eval_auc']!r} != "
         f"single-device {base['eval_auc']!r}")
     assert set(out["pseudo"]) == set(base["pseudo"]), label
+    thr = base.get("pseudo_threshold", 0.4)
     for key in base["pseudo"]:
-        assert np.allclose(out["pseudo"][key], base["pseudo"][key],
-                           rtol=1e-3, atol=1e-4), (
+        a, b = base["pseudo"][key], out["pseudo"][key]
+        close = np.isclose(a, b, rtol=1e-3, atol=1e-4)
+        # pseudo labels are THRESHOLDED (score-or-0): a score within f32
+        # reduction noise of the threshold may legitimately zero on one
+        # mesh and not the other — that straddle is not a sharding bug
+        straddle = (((a == 0) | (b == 0))
+                    & (np.abs(np.maximum(a, b) - thr) < 1e-3))
+        assert np.all(close | straddle), (
             f"{label}: pseudo labels for {key} diverge under sharding: "
-            f"{out['pseudo'][key]} vs {base['pseudo'][key]}")
+            f"{a} vs {b}")

@@ -43,6 +43,11 @@ class StreamingScorer:
         self.max_streams = max_streams
         self.head_kind = head_kind
         self.transfer_dtype = transfer_dtype
+        # live jitted applies want ONE compiled batch shape -> pad every
+        # group to max_streams; applies that pad for themselves (AOT
+        # artifacts, serving_mp.RemoteApply) set this False and receive
+        # only the real rows
+        self.pad_batches = True
         self._buffers: Dict[str, List[np.ndarray]] = {}
         self._apply = self._build()
 
@@ -100,6 +105,7 @@ class StreamingScorer:
         self.max_streams = max_streams
         self.head_kind = meta["kind"]
         self.transfer_dtype = "float32"  # exported programs take f32 input
+        self.pad_batches = False  # LoadedScorer.score pads for itself
         self._buffers = {}
         # LoadedScorer.score handles batch padding and returns host numpy of
         # the input batch size; params are baked into the loaded artifact
@@ -165,7 +171,8 @@ class StreamingScorer:
             dispatched = []
             for start in range(0, len(entries), self.max_streams):
                 group = entries[start:start + self.max_streams]
-                tokens = np.zeros((self.max_streams, tok_len, self.d_model),
+                n_rows = self.max_streams if self.pad_batches else len(group)
+                tokens = np.zeros((n_rows, tok_len, self.d_model),
                                   self._wire_dtype)
                 for i, (_, tok) in enumerate(group):
                     tokens[i] = tok
@@ -206,10 +213,11 @@ class StreamingScorer:
             dispatched = []
             for start in range(0, len(ready), self.max_streams):
                 group = ready[start:start + self.max_streams]
-                # preallocate the full padded batch (like end_streams'
-                # score_groups): a short final group fills rows in place
-                # instead of re-copying the whole batch via concatenate
-                tokens = np.zeros((self.max_streams,
+                # preallocate the batch (like end_streams' score_groups):
+                # a short final group fills rows in place instead of
+                # re-copying the whole batch via concatenate
+                n_rows = self.max_streams if self.pad_batches else len(group)
+                tokens = np.zeros((n_rows,
                                    self.part_len * self.n_patch,
                                    self.d_model), self._wire_dtype)
                 for i, sid in enumerate(group):

@@ -73,13 +73,14 @@ def _recv_msg(sock: socket.socket):
 
 
 class _Pending:
-    __slots__ = ("rows", "event", "scores", "error")
+    __slots__ = ("rows", "event", "scores", "error", "seq")
 
-    def __init__(self, rows: np.ndarray):
+    def __init__(self, rows: np.ndarray, seq: int = 0):
         self.rows = rows
         self.event = threading.Event()
         self.scores: Optional[np.ndarray] = None
         self.error: Optional[str] = None
+        self.seq = seq  # arrival order, for starvation-free scheduling
 
 
 class BatchingBackend:
@@ -109,6 +110,7 @@ class BatchingBackend:
         self._server_sock: Optional[socket.socket] = None
         self._conns: set = set()
         self._conns_lock = threading.Lock()
+        self._seq = 0
         self.n_calls = 0          # device calls made
         self.n_rows = 0           # rows scored (incl. worker padding rows)
 
@@ -125,10 +127,12 @@ class BatchingBackend:
                              f"max_batch={self.max_batch} — lower the "
                              "worker's max_streams or raise the backend's "
                              "--max-batch")
-        p = _Pending(np.ascontiguousarray(rows, dtype=np.float32))
         with self._cond:
             if self._stop:
                 raise RuntimeError("backend is shut down")
+            self._seq += 1
+            p = _Pending(np.ascontiguousarray(rows, dtype=np.float32),
+                         seq=self._seq)
             self._pending.setdefault(tok_len, []).append(p)
             self._cond.notify_all()
         p.event.wait()
@@ -137,17 +141,18 @@ class BatchingBackend:
         return p.scores
 
     def _take_round(self):
-        """One coalescing round: pick the token length with the most pending
-        rows, take entries while they fit in max_batch (entries are atomic —
-        a reply maps 1:1 to a request)."""
+        """One coalescing round: serve the token length holding the OLDEST
+        pending request (FIFO across lengths — a sustained majority length
+        can never starve a minority one, e.g. tail flushes behind full-part
+        traffic), take entries while they fit in max_batch (entries are
+        atomic — a reply maps 1:1 to a request)."""
         with self._cond:
             while not self._pending and not self._stop:
                 self._cond.wait()
             if not self._pending:
                 return None, []
-            tok_len = max(self._pending,
-                          key=lambda L: sum(len(p.rows)
-                                            for p in self._pending[L]))
+            tok_len = min(self._pending,
+                          key=lambda L: self._pending[L][0].seq)
             queue = self._pending[tok_len]
             if sum(len(p.rows) for p in queue) < self.max_batch \
                     and self._window_s > 0 and not self._stop:
@@ -373,6 +378,8 @@ def make_worker_scorer(sock_path: str, part_len: int, n_patch: int,
     s.max_streams = int(max_streams)
     s.head_kind = "remote"  # head selection happens in the backend's apply
     s.transfer_dtype = "float32"
+    s.pad_batches = False  # ship only real rows: the backend pads once,
+    #                        after coalescing across workers
     s._buffers = {}
     s._apply = RemoteApply(sock_path, d_model)
     return s

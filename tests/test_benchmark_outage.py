@@ -43,16 +43,33 @@ def test_probe_blip_recovers_and_runs(capsys):
 
 def test_midrun_transient_after_reexec_prints_outage(capsys, monkeypatch):
     """A transient failure in the already-retried process (LSTC_BENCH_RETRY
-    set) must emit the outage line instead of raising or re-exec looping."""
+    set) with the device CONFIRMED unreachable must emit the outage line
+    instead of raising or re-exec looping."""
     monkeypatch.setenv("LSTC_BENCH_RETRY", "1")
+    probes = iter([(True, ""), (False, "UNAVAILABLE: still down")])
 
     def runner():
         raise RuntimeError("UNAVAILABLE: backend setup/compile error")
 
-    benchmark.main(retry_wait_s=0.0, probe=lambda: (True, ""), runner=runner)
+    benchmark.main(retry_wait_s=0.0, probe=lambda: next(probes),
+                   runner=runner)
     lines, parsed = _stdout_json_lines(capsys)
     assert len(lines) == 1
     assert parsed[0]["transient_outage"] is True
+
+
+def test_persistent_error_on_reachable_device_raises(monkeypatch):
+    """A 'transient-looking' error that persists across the re-exec while
+    the device IS reachable (e.g. a genuine HBM OOM raising
+    RESOURCE_EXHAUSTED) must raise, not be laundered into an outage line."""
+    monkeypatch.setenv("LSTC_BENCH_RETRY", "1")
+
+    def runner():
+        raise RuntimeError("RESOURCE_EXHAUSTED: Out of memory on HBM")
+
+    with pytest.raises(RuntimeError, match="Out of memory"):
+        benchmark.main(retry_wait_s=0.0, probe=lambda: (True, ""),
+                       runner=runner)
 
 
 def test_midrun_nontransient_still_raises(monkeypatch):

@@ -93,6 +93,20 @@ def test_multichip_matches_single_device():
     assert m8["loss"] == pytest.approx(m1["loss"], rel=1e-4)
 
 
+def test_multichip_surface_non_power_of_two_devices():
+    """n=6 -> (data=3, model=2): the equality dryrun must work for any
+    factorization, with a batch size the data axis actually divides."""
+    from math import lcm
+
+    from lstc_vad_tpu.parallel.dryrun import (assert_surface_matches,
+                                              run_multichip_surface)
+
+    bs = 2 * lcm(factor_devices(6)[0], 1)  # = 6, divisible by 3 and 1
+    base = run_multichip_surface(1, batch_size=bs)
+    out = run_multichip_surface(6, batch_size=bs)
+    assert_surface_matches(base, out, label="6-device")
+
+
 def test_multichip_surface_matches_single_device():
     """The driver-visible dryrun contract: the FULL surface (train step,
     sharded eval AUC, pseudo-label vectors) on the (2, 4) mesh equals the

@@ -68,6 +68,71 @@ def test_concurrent_submits_coalesce_and_route_correctly():
         b.shutdown()
 
 
+def test_dispatcher_fifo_across_token_lengths():
+    """The dispatcher serves the token length holding the OLDEST request:
+    a sustained majority length cannot starve a minority one."""
+    import time as _time
+
+    b = BatchingBackend(_fake_apply, None, D, max_batch=8, window_ms=0.0)
+    done = []
+
+    def sub(L):
+        done.append((L, b.submit(L, np.zeros((1, L, D), np.float32))))
+
+    t_old = threading.Thread(target=sub, args=(5,))
+    t_new = threading.Thread(target=sub, args=(3,))
+    t_old.start()
+    _time.sleep(0.05)
+    t_new.start()
+    _time.sleep(0.05)
+    try:
+        tok1, taken1 = b._take_round()
+        assert tok1 == 5  # oldest first, not most-rows first
+        for p in taken1:
+            p.scores = np.zeros(len(p.rows), np.float32)
+            p.event.set()
+        tok2, taken2 = b._take_round()
+        assert tok2 == 3
+        for p in taken2:
+            p.scores = np.zeros(len(p.rows), np.float32)
+            p.event.set()
+        t_old.join(timeout=10)
+        t_new.join(timeout=10)
+        assert len(done) == 2
+    finally:
+        b.shutdown()
+
+
+def test_worker_flush_ships_only_real_rows(tmp_path):
+    """pad_batches=False: a worker flush of k ready streams sends k rows to
+    the backend, not max_streams — padding is the backend's job, once,
+    after coalescing."""
+    seen = []
+
+    def spy_apply(_params, tokens):
+        seen.append(np.asarray(tokens).shape)
+        return _fake_apply(_params, tokens)
+
+    sock = str(tmp_path / "b.sock")
+    b = BatchingBackend(spy_apply, None, D, max_batch=8, window_ms=0.0)
+    b.start(sock)
+    try:
+        s = make_worker_scorer(sock, part_len=2, n_patch=3, d_model=D,
+                               max_streams=6)
+        clip = np.ones((3, D), np.float32)
+        for sid in ("a", "b"):  # 2 ready streams of 6 max
+            for _ in range(2):
+                s.push(sid, clip)
+        out = s.flush()
+        assert len(out) == 2
+        # the device call is the backend's padded max_batch shape, but the
+        # WIRE request carried 2 rows (visible as backend n_rows == 2)
+        assert b.n_rows == 2
+        assert seen and seen[0][0] == 8  # backend pads to its max_batch
+    finally:
+        b.shutdown()
+
+
 def test_submit_validates_shape_and_size():
     b = BatchingBackend(_fake_apply, None, D, max_batch=4, window_ms=0.0)
     b._dispatcher = threading.Thread(target=b._dispatch_loop, daemon=True)

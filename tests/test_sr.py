@@ -60,6 +60,22 @@ def test_sr_cast_exact_values_stable():
         assert np.all(np.asarray(out, np.float32) == np.asarray(exact))
 
 
+def test_sr_cast_propagates_non_finite():
+    """NaN/Inf must survive the cast: the mantissa+noise add could wrap a
+    high-payload NaN through the sign bit into ±0.0, silently masking a
+    training divergence."""
+    x = jnp.asarray(np.array([np.nan, np.inf, -np.inf, 1.5], np.float32))
+    # also an adversarial high-payload NaN whose bits sit at 0x7FFFFFFF
+    evil = jax.lax.bitcast_convert_type(
+        jnp.uint32(0x7FFFFFFF), jnp.float32).reshape(())
+    x = jnp.concatenate([x, evil[None]])
+    for seed in range(4):
+        out = np.asarray(sr_cast(x, jax.random.PRNGKey(seed)), np.float32)
+        assert np.isnan(out[0]) and np.isnan(out[4]), out
+        assert out[1] == np.inf and out[2] == -np.inf
+        assert out[3] == 1.5
+
+
 def test_sr_cast_passthrough_non_f32():
     x = jnp.ones((3,), jnp.bfloat16) * 1.5
     out = sr_cast(x, jax.random.PRNGKey(0))
