@@ -133,6 +133,53 @@ def test_worker_flush_ships_only_real_rows(tmp_path):
         b.shutdown()
 
 
+def test_concurrent_stress_routing_integrity(tmp_path):
+    """Randomized stress: 4 socket clients fire 40 requests each of random
+    row counts and token lengths; every reply must be exactly the fake
+    apply of THAT request's rows (no cross-request mixups under coalescing,
+    FIFO scheduling, and concurrent socket framing)."""
+    sock = str(tmp_path / "b.sock")
+    b = BatchingBackend(_fake_apply, None, D, max_batch=16, window_ms=1.0)
+    b.start(sock)
+    errors = []
+
+    sent_rows = []
+
+    def client(cid):
+        rng = np.random.default_rng(cid)
+        try:
+            c = RemoteApply(sock, D)
+            total = 0
+            for i in range(40):
+                n = int(rng.integers(1, 6))
+                tok = int(rng.choice([2, 3, 5]))
+                rows = rng.standard_normal((n, tok, D)).astype(np.float32)
+                out = c(None, rows)
+                total += n
+                expect = rows.sum(axis=(1, 2))
+                if not np.allclose(out, expect, rtol=1e-5, atol=1e-5):
+                    errors.append((cid, i, out, expect))
+                    return
+            sent_rows.append(total)
+            c.close()
+        except Exception as e:  # pragma: no cover - surfaced via errors
+            errors.append((cid, repr(e)))
+
+    try:
+        threads = [threading.Thread(target=client, args=(cid,))
+                   for cid in range(4)]
+        for t in threads:
+            t.start()
+        for t in threads:
+            t.join(timeout=120)
+        assert not errors, errors[:2]
+        assert len(sent_rows) == 4
+        assert b.n_rows == sum(sent_rows)  # every row scored exactly once
+        assert b.n_calls <= 4 * 40
+    finally:
+        b.shutdown()
+
+
 def test_submit_validates_shape_and_size():
     b = BatchingBackend(_fake_apply, None, D, max_batch=4, window_ms=0.0)
     b._dispatcher = threading.Thread(target=b._dispatch_loop, daemon=True)
