@@ -59,6 +59,10 @@ runs, not extrapolated from the flagship shape):
 - ``serving_parts_per_sec`` / ``serving_flush_p50_ms`` / ``_p99_ms``:
   online StreamingScorer at 16 concurrent flagship-LTN streams, one part
   per stream per flush.
+- ``serving_mp_parts_per_sec`` / ``serving_mp_roundtrip_p50_ms``: the
+  multi-process serving path (serving_mp.py) — 16-part requests through a
+  unix-socket RemoteApply into an in-process BatchingBackend; the delta vs
+  ``serving_parts_per_sec`` is the socket + coalesce + pad overhead.
 - ``eval_tflops`` / ``train_tflops`` / ``stn_eval_tflops`` /
   ``ubnormal_eval_tflops``: FLOP-derived rates from the analytic matmul
   count (backward ~= 2x forward); ``eval_mfu`` / ``train_mfu`` are vs the
@@ -457,6 +461,43 @@ def _serving_probe(rng, n_streams: int = 16, n_flushes: int = 100):
             float(lat_ms[p99_idx]))
 
 
+def _serving_mp_probe(rng, n_rows: int = 16, n_calls: int = 50):
+    """Multi-process serving path at flagship LTN dims: one in-process
+    BatchingBackend on a unix socket + one RemoteApply client shipping
+    ``n_rows``-part requests (the worker wire format, serving_mp.py).
+    Returns (parts_per_sec, roundtrip_p50_ms) — the socket+coalesce+pad
+    overhead on top of the raw device call, measured on the same chip."""
+    import tempfile
+
+    from lstc_vad_tpu.config import preset
+    from lstc_vad_tpu.serving_mp import BatchingBackend, RemoteApply
+
+    cfg = preset("sht_ltn")
+    d = cfg.encoder.d_model
+    tokens = cfg.data.part_len * cfg.data.n_patch
+    _, _, params, apply = _build_apply(cfg)
+    sock = tempfile.mktemp(prefix="lstc_bench_mp_", suffix=".sock")
+    backend = BatchingBackend(apply, params, d, max_batch=64, window_ms=0.0)
+    backend.start(sock)
+    try:
+        client = RemoteApply(sock, d)
+        rows = rng.standard_normal((n_rows, tokens, d)).astype(np.float32)
+        client(None, rows)  # compile [64, tokens, d]
+        lat = []
+        t_all = time.perf_counter()
+        for _ in range(n_calls):
+            t0 = time.perf_counter()
+            client(None, rows)
+            lat.append(time.perf_counter() - t0)
+        total = time.perf_counter() - t_all
+        client.close()
+        lat_ms = np.sort(np.array(lat) * 1e3)
+        return (n_rows * n_calls / total,
+                float(lat_ms[len(lat_ms) // 2]))
+    finally:
+        backend.shutdown()
+
+
 def _train_step(rng, compute_dtype: str = "float32"):
     """SHT LTN train step: fwd + bwd + two-group Adagrad, donated state
     (the device program of Train/temporal_transformer_shanghaitech.py:99-142).
@@ -510,6 +551,7 @@ def _run():
     hostfed_rate, hostfed_gbps = _hostfed_eval(rng)
     h2d_raw_gbps = _h2d_probe(rng)
     serving_rate, serving_p50, serving_p99 = _serving_probe(rng)
+    mp_rate, mp_p50 = _serving_mp_probe(rng)
     # train phases last: each phase's staging is freed on helper return, so
     # the backward's activation temps (~8 GB at bs=40 f32) never share HBM
     # with an eval sweep's parts on the 15.75 GB chip.
@@ -528,6 +570,7 @@ def _run():
           f"{h2d_raw_gbps:.2f} raw) | "
           f"serving: {serving_rate:.0f} parts/s "
           f"(p50 {serving_p50:.1f} ms) | "
+          f"serving-mp: {mp_rate:.0f} parts/s (p50 {mp_p50:.1f} ms) | "
           f"train f32: {train_rate:.0f} ({train_tflops:.1f}) | "
           f"train bf16 alt: {train_bf16_rate:.0f} ({train_bf16_tflops:.1f})",
           file=sys.stderr)
@@ -556,6 +599,8 @@ def _run():
         "serving_parts_per_sec": round(serving_rate, 1),
         "serving_flush_p50_ms": round(serving_p50, 2),
         "serving_flush_p99_ms": round(serving_p99, 2),
+        "serving_mp_parts_per_sec": round(mp_rate, 1),
+        "serving_mp_roundtrip_p50_ms": round(mp_p50, 2),
     }))
 
 

@@ -342,6 +342,23 @@ def test_remote_apply_survives_backend_restart(tmp_path):
         client.close()
 
 
+def test_bench_serving_mp_probe_smoke(monkeypatch):
+    """bench.py's serving_mp probe wiring, at tiny dims (the real run uses
+    the flagship preset on the chip)."""
+    from lstc_vad_tpu import benchmark, config
+
+    tiny = config.preset("sht_ltn", **{
+        "encoder.d_model": 8, "encoder.d_inner": 16, "encoder.n_head": 2,
+        "encoder.d_k": 4, "encoder.d_v": 4, "encoder.n_layers": 1,
+        "encoder.attn_impl": "xla", "head.d_model": 8, "head.hidden_dim": 8,
+        "data.n_patch": 4, "data.d_model": 8, "data.part_len": 3,
+        "encoder.window_depth": 3})
+    monkeypatch.setattr(config, "preset", lambda name, **kw: tiny)
+    rate, p50 = benchmark._serving_mp_probe(np.random.default_rng(0),
+                                            n_rows=4, n_calls=5)
+    assert rate > 0 and p50 > 0
+
+
 def test_worker_imports_are_jax_free():
     """The whole worker-side import surface (protocol, buffers, remote
     apply, config presets) must not pull in jax: worker fan-out is supposed
