@@ -498,7 +498,7 @@ def _serving_mp_probe(rng, n_rows: int = 16, n_calls: int = 50):
         backend.shutdown()
 
 
-def _train_step(rng, compute_dtype: str = "float32"):
+def _train_step(rng, compute_dtype: str = "float32", cast_sr: bool = False):
     """SHT LTN train step: fwd + bwd + two-group Adagrad, donated state
     (the device program of Train/temporal_transformer_shanghaitech.py:99-142).
     Returns (snippets_per_sec, tflops).
@@ -507,14 +507,17 @@ def _train_step(rng, compute_dtype: str = "float32"):
     activations in bf16 (params, LN, softmax stay f32).  The round-4
     paired-seed study (docs/ARCHITECTURE.md) found it converges ~0.03 AUC
     below f32 on every seed, so it is NOT the default — reported so the
-    tradeoff stays measured."""
+    tradeoff stays measured.  ``cast_sr=True`` (bf16 only) adds unbiased
+    stochastic-rounding casts on the matmul inputs (`ops/sr.py`) — the
+    round-5 probe arm's throughput twin."""
     import jax
 
     from lstc_vad_tpu.config import preset
     from lstc_vad_tpu.train.state import create_train_state
     from lstc_vad_tpu.train.steps import make_ltn_train_step
 
-    cfg = preset("sht_ltn", **{"encoder.compute_dtype": compute_dtype})
+    cfg = preset("sht_ltn", **{"encoder.compute_dtype": compute_dtype,
+                               "encoder.cast_sr": cast_sr})
     d = cfg.encoder.d_model
     part_len, n_patch = cfg.data.part_len, cfg.data.n_patch
     state, t_encoder, t_head, tx = create_train_state(cfg)
@@ -561,6 +564,11 @@ def _run():
     # step is the reported-alongside alternate, not the default.
     train_rate, train_tflops = _train_step(rng, "float32")
     train_bf16_rate, train_bf16_tflops = _train_step(rng, "bfloat16")
+    # stochastic-rounding arm (encoder.cast_sr): bf16 MXU matmuls with
+    # unbiased SR casts on their inputs — the round-5 quality probe's
+    # throughput twin (AUC arms: docs/BF16_STUDY.jsonl "bfloat16_sr").
+    train_sr_rate, train_sr_tflops = _train_step(rng, "bfloat16",
+                                                 cast_sr=True)
 
     print(f"sht_ltn eval: {eval_rate:.0f} snippets/s ({eval_tflops:.1f} "
           f"TFLOP/s) | stn: {stn_rate:.0f} ({stn_tflops:.1f}) | "
@@ -572,7 +580,8 @@ def _run():
           f"(p50 {serving_p50:.1f} ms) | "
           f"serving-mp: {mp_rate:.0f} parts/s (p50 {mp_p50:.1f} ms) | "
           f"train f32: {train_rate:.0f} ({train_tflops:.1f}) | "
-          f"train bf16 alt: {train_bf16_rate:.0f} ({train_bf16_tflops:.1f})",
+          f"train bf16 alt: {train_bf16_rate:.0f} ({train_bf16_tflops:.1f})"
+          f" | train bf16+SR: {train_sr_rate:.0f} ({train_sr_tflops:.1f})",
           file=sys.stderr)
     print(json.dumps({
         "metric": "sht_ltn_eval_snippets_per_sec",
@@ -588,6 +597,9 @@ def _run():
         "train_bf16_snippets_per_sec": round(train_bf16_rate, 1),
         "train_bf16_tflops": round(train_bf16_tflops, 1),
         "train_bf16_mfu": round(train_bf16_tflops / V5E_PEAK_TFLOPS, 3),
+        "train_bf16_sr_snippets_per_sec": round(train_sr_rate, 1),
+        "train_bf16_sr_tflops": round(train_sr_tflops, 1),
+        "train_bf16_sr_mfu": round(train_sr_tflops / V5E_PEAK_TFLOPS, 3),
         "stn_eval_snippets_per_sec": round(stn_rate, 1),
         "stn_eval_tflops": round(stn_tflops, 1),
         "ubnormal_eval_snippets_per_sec": round(ub_rate, 1),

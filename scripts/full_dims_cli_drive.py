@@ -66,9 +66,20 @@ SMOKE_SETS = ("encoder.d_model=16 encoder.d_inner=32 encoder.n_head=2 "
 def main():
     ap = argparse.ArgumentParser()
     ap.add_argument("--epochs", type=int, default=6)
+    ap.add_argument("--coteach-epochs", type=int, default=None,
+                    help="per-network epochs inside the coteach round "
+                         "(default: --epochs).  The final AUC gate scores "
+                         "the step-3 LTN checkpoint, so a longer --epochs "
+                         "need not multiply the coteach budget with it")
     ap.add_argument("--out", default=os.path.join(REPO, "docs",
                                                   "FULL_DIMS_DRIVE.jsonl"))
     ap.add_argument("--batch-size", type=int, default=16)
+    ap.add_argument("--cache-dir",
+                    default=os.path.join(tempfile.gettempdir(),
+                                         "lstc_drive_xla_cache"),
+                    help="persistent XLA compile cache shared across drive "
+                         "runs (same shapes -> no re-compile through the "
+                         "tunnel on a re-run)")
     ap.add_argument("--smoke", action="store_true",
                     help="tiny dims on CPU: validates THIS SCRIPT's "
                          "plumbing end-to-end without a TPU (the real run "
@@ -98,13 +109,16 @@ def main():
     common = ["--h5", h5, "--train-txt", train_txt, "--test-txt", test_txt,
               "--mask-dir", mask_dir + "/",
               "--batch-size", str(args.batch_size)] + small
-    # persistent compile cache: coteach re-runs the same programs
-    cache_env = {"LSTC_VAD_COMPILE_CACHE": os.path.join(tmp, "xla_cache")}
+    # persistent compile cache: coteach re-runs the same programs, and a
+    # drive re-run (e.g. with more --epochs) re-uses every lowered binary
+    cache_env = {"LSTC_VAD_COMPILE_CACHE": args.cache_dir}
     stn_state = os.path.join(tmp, "stn_state")
     ltn_state = os.path.join(tmp, "ltn_state")
     stn_pl = os.path.join(tmp, "stn_pseudo.npy")
     ltn_pl = os.path.join(tmp, "ltn_pseudo.npy")
     ep = str(args.epochs)
+    cep = str(args.epochs if args.coteach_epochs is None
+              else args.coteach_epochs)
 
     # the signal dataset carries TEST-split masks only (like the bf16
     # study): skip the reference's train-split eval in both train steps
@@ -129,7 +143,7 @@ def main():
                               "--ltn-preset", "sht_ltn",
                               "--workdir", os.path.join(tmp, "coteach"),
                               "--rounds", "2",
-                              "--stn-epochs", ep, "--ltn-epochs", ep]
+                              "--stn-epochs", cep, "--ltn-epochs", cep]
             + no_train_eval + common, args.out, cache_env)
     out = run_cli("evaluate_ltn", ["evaluate", "--preset", "sht_ltn",
                                    "--ckpt", ltn_state] + common,
