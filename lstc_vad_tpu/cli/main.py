@@ -912,6 +912,37 @@ def cmd_export_aot(args):
     return 0
 
 
+def _live_serving_modules(args, cfg, tag):
+    """Shared by ``serve``/``serve-backend``: load live params and return
+    (encoder, head, params) with the encoder rebuilt as the canonical f32
+    eval twin.  Train-only knobs (bf16 compute, remat, cast_sr) must not
+    move served scores — and the rebuilt config must equal every other
+    eval path's, or ``get_apply``'s shared-program cache key would fork."""
+    import types
+
+    from ..train.state import create_train_state
+
+    state, encoder, head, _tx = create_train_state(cfg)
+    if not (args.ckpt or args.encoder_ckpt or args.head_ckpt):
+        print(f"[{tag}] no --ckpt/--artifact: serving fresh random-init "
+              "params (smoke-test mode)", file=sys.stderr)
+    holder = types.SimpleNamespace(state=state)
+    holder = _load_params(args, holder)
+    ec = cfg.encoder
+    if ec.compute_dtype != "float32" or ec.remat or ec.cast_sr:
+        from ..models import Encoder
+
+        encoder = Encoder(dataclasses.replace(
+            ec, compute_dtype="float32", remat=False, cast_sr=False))
+    return encoder, head, holder.state.params
+
+
+def _reject_ckpt_flags_with_artifact(args):
+    if args.torch_ckpt or args.ckpt or args.encoder_ckpt or args.head_ckpt:
+        raise SystemExit("--artifact already contains the params — drop "
+                         "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
+
+
 def cmd_serve(args):
     """Online scoring server over stdin/stdout: JSONL requests in, JSONL
     scores out (serving.serve_jsonl documents the protocol).  Backed by a
@@ -919,8 +950,6 @@ def cmd_serve(args):
     the artifact path needs no flax/model code in the serving process.
     Scores follow the offline part semantics exactly (PARITY.md
     'beyond-reference': online == offline parity is tested)."""
-    import types
-
     from ..serving import StreamingScorer, serve_jsonl
 
     cfg = _apply_common(preset(args.preset), args)
@@ -950,10 +979,7 @@ def cmd_serve(args):
               f"(worker -> {args.backend})", file=sys.stderr)
         return 0
     if args.artifact:
-        if args.torch_ckpt or args.ckpt or args.encoder_ckpt \
-                or args.head_ckpt:
-            raise SystemExit("--artifact already contains the params — drop "
-                             "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
+        _reject_ckpt_flags_with_artifact(args)
         # the artifact's OWN baked part_len wins (export-aot records it; a
         # preset override would recompute n_patch and silently truncate
         # every pushed clip); only pre-part_len-meta artifacts fall back to
@@ -973,24 +999,9 @@ def cmd_serve(args):
             args.artifact, max_streams=args.max_streams,
             part_len=part_len if baked is None else None)
     else:
-        from ..train.state import create_train_state
-
-        state, encoder, head, _tx = create_train_state(cfg)
-        if not (args.ckpt or args.encoder_ckpt or args.head_ckpt):
-            print("[serve] no --ckpt/--artifact: serving fresh random-init "
-                  "params (smoke-test mode)", file=sys.stderr)
-        holder = types.SimpleNamespace(state=state)
-        holder = _load_params(args, holder)
-        ec = cfg.encoder
-        if ec.compute_dtype != "float32" or ec.remat:
-            # serving compute stays f32 like every eval path (the train
-            # bf16/remat knobs must not move served scores)
-            from ..models import Encoder
-
-            encoder = Encoder(dataclasses.replace(
-                ec, compute_dtype="float32", remat=False))
+        encoder, head, params = _live_serving_modules(args, cfg, "serve")
         scorer = StreamingScorer(
-            encoder, head, holder.state.params, part_len, cfg.data.n_patch,
+            encoder, head, params, part_len, cfg.data.n_patch,
             cfg.encoder.d_model, max_streams=args.max_streams,
             head_kind=cfg.head.kind,
             transfer_dtype=cfg.data.eval_transfer_dtype)
@@ -1008,7 +1019,6 @@ def cmd_serve_backend(args):
     Prints one JSON ready-line to stdout once listening (a supervisor can
     block on it), then serves until SIGINT/SIGTERM."""
     import json as _json
-    import types
 
     import numpy as np
 
@@ -1017,10 +1027,7 @@ def cmd_serve_backend(args):
         raise SystemExit(f"--max-batch must be >= 1, got {args.max_batch}")
     part_len = 1 if cfg.model.startswith("stn") else cfg.data.part_len
     if args.artifact:
-        if args.torch_ckpt or args.ckpt or args.encoder_ckpt \
-                or args.head_ckpt:
-            raise SystemExit("--artifact already contains the params — drop "
-                             "--ckpt/--torch-ckpt/--encoder-ckpt/--head-ckpt")
+        _reject_ckpt_flags_with_artifact(args)
         from ..export import load_scorer
 
         loaded = load_scorer(args.artifact)
@@ -1046,23 +1053,10 @@ def cmd_serve_backend(args):
             np.asarray(tokens, dtype=np.float32))
     else:
         from ..evaluation.scoring import get_apply
-        from ..train.state import create_train_state
 
-        state, encoder, head, _tx = create_train_state(cfg)
-        if not (args.ckpt or args.encoder_ckpt or args.head_ckpt):
-            print("[serve-backend] no --ckpt/--artifact: serving fresh "
-                  "random-init params (smoke-test mode)", file=sys.stderr)
-        holder = types.SimpleNamespace(state=state)
-        holder = _load_params(args, holder)
-        ec = cfg.encoder
-        if ec.compute_dtype != "float32" or ec.remat or ec.cast_sr:
-            # serving compute stays f32 like every eval path
-            from ..models import Encoder
-
-            encoder = Encoder(dataclasses.replace(
-                ec, compute_dtype="float32", remat=False, cast_sr=False))
+        encoder, head, params = _live_serving_modules(args, cfg,
+                                                      "serve-backend")
         apply_fn = get_apply(encoder, head, cfg.head.kind, False)
-        params = holder.state.params
         d_model = cfg.encoder.d_model
         n_patch = cfg.data.n_patch
 

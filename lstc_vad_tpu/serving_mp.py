@@ -37,6 +37,7 @@ from __future__ import annotations
 
 import json
 import os
+import signal
 import socket
 import struct
 import threading
@@ -59,8 +60,11 @@ def _recv_exact(sock: socket.socket, n: int) -> bytes:
     while len(buf) < n:
         chunk = sock.recv(n - len(buf))
         if not chunk:
+            # EOF with nothing buffered = a clean close on a message
+            # boundary (the first read of the next header); partial bytes
+            # mean the peer died mid-message.
             raise ConnectionError("peer closed mid-message"
-                                  if buf or n else "peer closed")
+                                  if buf else "peer closed")
         buf += chunk
     return bytes(buf)
 
@@ -256,6 +260,14 @@ class BatchingBackend:
                              daemon=True).start()
 
     def serve_forever(self, sock_path: str, ready_fn=None) -> None:
+        # SIGTERM (what `timeout` and process supervisors send) must run
+        # the same orderly shutdown as Ctrl-C: close worker connections,
+        # join the dispatcher, print the device-call summary.  Installing
+        # a handler only works from the main thread; elsewhere the caller
+        # owns signal routing.
+        if threading.current_thread() is threading.main_thread():
+            signal.signal(signal.SIGTERM,
+                          lambda *_: self._request_stop())
         self.start(sock_path)
         if ready_fn is not None:
             ready_fn()
@@ -266,6 +278,11 @@ class BatchingBackend:
             pass
         finally:
             self.shutdown()
+
+    def _request_stop(self) -> None:
+        with self._cond:
+            self._stop = True
+            self._cond.notify_all()
 
     def shutdown(self) -> None:
         with self._cond:
