@@ -108,10 +108,12 @@ def _probe_device(timeout_s: float = 90.0):
     caches a failed attach per process — so the probe must not share this
     interpreter.  Returns (ok, detail).
 
-    A hung probe child is SIGTERMed, never SIGKILLed (CLAUDE.md: SIGKILL of
-    a TPU-attaching process can wedge the remote device grant ~30-60 min);
-    SIGKILL only as a last resort if SIGTERM is ignored for 15 s."""
+    A hung probe child is SIGTERMed, NEVER SIGKILLed (CLAUDE.md: SIGKILL of
+    a TPU-attaching process can wedge the remote device grant ~30-60 min).
+    If SIGTERM is ignored, the child is abandoned to a daemon reaper thread
+    — it exits on its own when the backend attach fails or times out."""
     import subprocess
+    import threading
 
     code = "import jax; jax.devices(); print('LSTC_PROBE_OK')"
     p = subprocess.Popen([sys.executable, "-c", code],
@@ -124,26 +126,46 @@ def _probe_device(timeout_s: float = 90.0):
         try:
             p.communicate(timeout=15)
         except subprocess.TimeoutExpired:
-            p.kill()
-            p.communicate()
+            threading.Thread(target=p.communicate, daemon=True).start()
         return False, f"device probe hung >{timeout_s:.0f}s (tunnel down?)"
     if p.returncode == 0 and "LSTC_PROBE_OK" in out:
         return True, ""
     return False, (err.strip() or out.strip())[-500:]
 
 
+# every key the success-path JSON line carries (kept in sync by an assert
+# in main's success path and by tests/test_benchmark_outage.py): an outage
+# line must present the SAME keys as nulls so per-key consumers see None,
+# never KeyError.
+CONTRACT_KEYS = (
+    "metric", "value", "unit", "vs_baseline",
+    "train_snippets_per_sec", "eval_tflops", "train_tflops",
+    "eval_mfu", "train_mfu", "train_compute_dtype",
+    "train_bf16_snippets_per_sec", "train_bf16_tflops", "train_bf16_mfu",
+    "train_bf16_sr_snippets_per_sec", "train_bf16_sr_tflops",
+    "train_bf16_sr_mfu",
+    "stn_eval_snippets_per_sec", "stn_eval_tflops",
+    "ubnormal_eval_snippets_per_sec", "ubnormal_eval_tflops",
+    "ucf_eval_snippets_per_sec",
+    "hostfed_eval_snippets_per_sec", "hostfed_h2d_gbps", "h2d_raw_gbps",
+    "serving_parts_per_sec", "serving_flush_p50_ms", "serving_flush_p99_ms",
+    "serving_mp_parts_per_sec", "serving_mp_roundtrip_p50_ms",
+)
+
+
 def _print_outage(detail: str) -> None:
-    """The one-JSON-line contract under a confirmed outage: same contract
-    keys, null values, and an explicit transient_outage marker so the
-    driver records 'environment down' instead of rc:124."""
-    print(json.dumps({
+    """The one-JSON-line contract under a confirmed outage: the SAME
+    contract keys as the success line, null values, plus an explicit
+    transient_outage marker so the driver records 'environment down'
+    instead of rc:124."""
+    line = {k: None for k in CONTRACT_KEYS}
+    line.update({
         "metric": "sht_ltn_eval_snippets_per_sec",
-        "value": None,
         "unit": "snippets/s",
-        "vs_baseline": None,
         "transient_outage": True,
         "outage_detail": detail[-500:],
-    }))
+    })
+    print(json.dumps(line))
 
 
 def main(retry_wait_s: float = 60.0, probe=_probe_device, runner=None):
@@ -583,7 +605,7 @@ def _run():
           f"train bf16 alt: {train_bf16_rate:.0f} ({train_bf16_tflops:.1f})"
           f" | train bf16+SR: {train_sr_rate:.0f} ({train_sr_tflops:.1f})",
           file=sys.stderr)
-    print(json.dumps({
+    line = {
         "metric": "sht_ltn_eval_snippets_per_sec",
         "value": round(eval_rate, 1),
         "unit": "snippets/s",
@@ -613,7 +635,11 @@ def _run():
         "serving_flush_p99_ms": round(serving_p99, 2),
         "serving_mp_parts_per_sec": round(mp_rate, 1),
         "serving_mp_roundtrip_p50_ms": round(mp_p50, 2),
-    }))
+    }
+    assert set(line) == set(CONTRACT_KEYS), (
+        "success line keys drifted from CONTRACT_KEYS: "
+        f"{set(line) ^ set(CONTRACT_KEYS)}")
+    print(json.dumps(line))
 
 
 if __name__ == "__main__":

@@ -153,7 +153,8 @@ def main():
     # proves plumbing, not convergence at 1-epoch tiny dims
     gate = 0.0 if args.smoke else 0.60
     rec = {"step": "final", "ltn_auc": round(auc, 4),
-           "learned": auc > 0.60, "ts": round(time.time(), 1)}
+           "learned": auc > gate, "gate": gate,
+           "ts": round(time.time(), 1)}
     with open(args.out, "a") as f:
         f.write(json.dumps(rec) + "\n")
     print(json.dumps(rec), flush=True)

@@ -29,6 +29,12 @@ def test_outage_prints_single_explicit_json_line(capsys):
     assert rec["value"] is None and rec["vs_baseline"] is None
     assert rec["transient_outage"] is True
     assert "UNAVAILABLE" in rec["outage_detail"]
+    # per-key consumers must see None, never KeyError: every success-path
+    # contract key is present on the outage line too
+    missing = set(benchmark.CONTRACT_KEYS) - set(rec)
+    assert not missing, f"outage line lacks contract keys: {missing}"
+    assert all(rec[k] is None for k in benchmark.CONTRACT_KEYS
+               if k not in ("metric", "unit"))
 
 
 def test_probe_blip_recovers_and_runs(capsys):

@@ -359,6 +359,7 @@ def test_bench_serving_mp_probe_smoke(monkeypatch):
     assert rate > 0 and p50 > 0
 
 
+@pytest.mark.slow
 def test_worker_imports_are_jax_free():
     """The whole worker-side import surface (protocol, buffers, remote
     apply, config presets) must not pull in jax: worker fan-out is supposed
@@ -381,6 +382,7 @@ def test_worker_imports_are_jax_free():
     assert r.returncode == 0 and "JAXFREE_OK" in r.stdout, r.stderr[-800:]
 
 
+@pytest.mark.slow
 @pytest.mark.skipif(os.environ.get("LSTC_SKIP_SUBPROC") == "1",
                     reason="subprocess test disabled")
 def test_cli_multiprocess_serving(tmp_path):
