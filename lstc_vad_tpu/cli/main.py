@@ -378,6 +378,23 @@ def cmd_train(args):
     if args.save_state:
         trainer.save_state(args.save_state)
         logger.info("saved full train state to %s", args.save_state)
+    if args.save_best:
+        # the reference keeps the checkpoint from the best-AUC epoch, not
+        # the last one (spatio_transformer_shanghaitech.py:177-191 saves on
+        # improvement); best_params is that snapshot.  Falls back to final
+        # params when no eval ever ran (inter_epoch > epochs).
+        from ..ckpt import save_checkpoint
+
+        best = (trainer.best_params if trainer.best_params is not None
+                else trainer.state.params)
+        save_checkpoint(args.save_best, best)
+        gate_auc, gate_ep = ((result.best_train_auc,
+                              result.best_train_epoch)
+                             if cfg.eval_train_split else
+                             (result.best_test_auc,
+                              result.best_test_epoch))
+        logger.info("saved best-gate params to %s (gate AUC %.4f @%d)",
+                    args.save_best, gate_auc, gate_ep)
     logger.info("best test AUC %.4f @%d, best train AUC %.4f @%d",
                 result.best_test_auc, result.best_test_epoch,
                 result.best_train_auc, result.best_train_epoch)
@@ -1104,6 +1121,9 @@ def main(argv=None):
     p.add_argument("--resume", help="restore full train state (Orbax dir)")
     p.add_argument("--save-state", dest="save_state",
                    help="save full train state after fitting")
+    p.add_argument("--save-best", dest="save_best",
+                   help="save the best-AUC epoch's params (Orbax dir), "
+                        "like the reference's AUC-gated checkpoints")
     p.set_defaults(fn=cmd_train)
 
     p = sub.add_parser("gen-pseudo", help="generate pseudo labels")

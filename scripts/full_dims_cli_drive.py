@@ -112,8 +112,8 @@ def main():
     # persistent compile cache: coteach re-runs the same programs, and a
     # drive re-run (e.g. with more --epochs) re-uses every lowered binary
     cache_env = {"LSTC_VAD_COMPILE_CACHE": args.cache_dir}
-    stn_state = os.path.join(tmp, "stn_state")
-    ltn_state = os.path.join(tmp, "ltn_state")
+    stn_best = os.path.join(tmp, "stn_best")
+    ltn_best = os.path.join(tmp, "ltn_best")
     stn_pl = os.path.join(tmp, "stn_pseudo.npy")
     ltn_pl = os.path.join(tmp, "ltn_pseudo.npy")
     ep = str(args.epochs)
@@ -121,22 +121,25 @@ def main():
               else args.coteach_epochs)
 
     # the signal dataset carries TEST-split masks only (like the bf16
-    # study): skip the reference's train-split eval in both train steps
-    no_train_eval = ["--set", "inter_epoch=1000",
-                     "--set", "eval_train_split=false"]
+    # study), so gate best-checkpoint selection on per-epoch TEST AUC
+    # (the reference evaluates every epoch and keeps the improving save,
+    # spatio_transformer_shanghaitech.py:177-191); downstream steps read
+    # the BEST epoch's params, not the last one's.
+    eval_every = ["--set", "inter_epoch=1",
+                  "--set", "eval_train_split=false"]
     run_cli("train_stn", ["train", "--preset", "sht_stn", "--epochs", ep,
-                          "--save-state", stn_state] + no_train_eval
+                          "--save-best", stn_best] + eval_every
             + common, args.out, cache_env)
     run_cli("gen_pseudo_stn", ["gen-pseudo", "--preset", "sht_stn",
-                               "--kind", "stn", "--ckpt", stn_state,
+                               "--kind", "stn", "--ckpt", stn_best,
                                "--threshold", "0.9", "--out", stn_pl]
             + common, args.out, cache_env)  # README.md:27 threshold
     run_cli("train_ltn", ["train", "--preset", "sht_ltn", "--epochs", ep,
                           "--pseudo-labels", stn_pl,
-                          "--save-state", ltn_state] + no_train_eval
+                          "--save-best", ltn_best] + eval_every
             + common, args.out, cache_env)
     run_cli("gen_pseudo_ltn", ["gen-pseudo", "--preset", "sht_ltn",
-                               "--kind", "ltn", "--ckpt", ltn_state,
+                               "--kind", "ltn", "--ckpt", ltn_best,
                                "--threshold", "0.65", "--out", ltn_pl]
             + common, args.out, cache_env)
     run_cli("coteach_round", ["coteach", "--stn-preset", "sht_stn",
@@ -144,9 +147,9 @@ def main():
                               "--workdir", os.path.join(tmp, "coteach"),
                               "--rounds", "2",
                               "--stn-epochs", cep, "--ltn-epochs", cep]
-            + no_train_eval + common, args.out, cache_env)
+            + eval_every + common, args.out, cache_env)
     out = run_cli("evaluate_ltn", ["evaluate", "--preset", "sht_ltn",
-                                   "--ckpt", ltn_state] + common,
+                                   "--ckpt", ltn_best] + common,
                   args.out, cache_env)
     auc = float(out.strip().split("auc = ")[-1])
     # the learned-signal gate applies to the flagship run; the smoke run

@@ -142,6 +142,34 @@ def test_cli_metrics_jsonl(tmp_path):
     assert last["kind"] == "final_eval" and 0.0 <= last["auc"] <= 1.0
 
 
+def test_cli_save_best_checkpoint(tmp_path, capsys):
+    """--save-best keeps the best-gate epoch's params (the reference's
+    AUC-gated save, spatio_transformer_shanghaitech.py:177-191), not the
+    final epoch's: evaluating the saved dir reproduces the best per-epoch
+    test AUC from the metrics log."""
+    import json
+
+    fixture = make_sht_like(str(tmp_path), n_patch=4, d_model=16,
+                            n_clips=(14, 30))
+    common = _common(fixture)
+    best_dir = str(tmp_path / "best")
+    metrics = str(tmp_path / "metrics.jsonl")
+    rc = main(["train", "--preset", "sht_stn", "--epochs", "3",
+               "--set", "inter_epoch=1", "--set", "eval_train_split=false",
+               "--save-best", best_dir, "--metrics-jsonl", metrics]
+              + common)
+    assert rc == 0
+    aucs = [json.loads(ln)["auc_test"] for ln in open(metrics)
+            if json.loads(ln)["kind"] == "eval"]
+    assert len(aucs) == 3
+    capsys.readouterr()
+    rc = main(["evaluate", "--preset", "sht_stn", "--ckpt", best_dir]
+              + common)
+    assert rc == 0
+    got = float(_auc_lines(capsys.readouterr().out)[-1].split("auc = ")[-1])
+    assert got == pytest.approx(max(aucs), abs=1e-6)
+
+
 def test_cli_compile_cache_env(tmp_path, monkeypatch):
     """LSTC_VAD_COMPILE_CACHE turns on the persistent XLA cache: the jitted
     train-step binaries land in the directory and later processes reuse
